@@ -1,0 +1,223 @@
+"""Synthetic SLAM world: scene, trajectory, IMU and image synthesis.
+
+The reference verifies itself only by full dataset runs (SURVEY §4); this
+module is the foundation of the automated test strategy that replaces
+that: a procedurally generated room (textured points + line segments on
+the walls), a smooth closed-form camera trajectory, IMU measurements
+derived from the trajectory (with gravity, bias and noise), and rendered
+grayscale images.  Every stage of the pipeline can then be tested either
+against oracle geometry (backend-only) or fully end-to-end with an ATE
+threshold.
+
+World frame: z-up, gravity (0,0,-g).  Pose convention: T_wc maps camera
+coords to world (R_wc, t_wc = camera center).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import numpy as np
+
+GRAVITY = 9.81
+
+
+@dataclass
+class Scene:
+    points: np.ndarray           # [P,3] world points
+    lines: np.ndarray            # [L,2,3] world segment endpoints
+    point_polarity: np.ndarray   # [P] +-1 blob polarity (for rendering)
+    line_polarity: np.ndarray    # [L] +-1
+
+
+@dataclass
+class SyntheticTrajectory:
+    timestamps: np.ndarray       # [N] seconds
+    R_wb: np.ndarray             # [N,3,3] world-from-body
+    p_wb: np.ndarray             # [N,3]
+    v_wb: np.ndarray             # [N,3]
+
+
+@dataclass
+class SyntheticImu:
+    timestamps: np.ndarray       # [M]
+    gyro: np.ndarray             # [M,3] body rates (measured)
+    acc: np.ndarray              # [M,3] specific force (measured)
+    bias_gyro: np.ndarray        # [3] true constant bias used
+    bias_acc: np.ndarray         # [3]
+
+
+def make_room_scene(rng: np.random.Generator, n_points: int = 600,
+                    n_lines: int = 60, size: float = 6.0) -> Scene:
+    """Points and lines on the walls/floor/ceiling of a [size]^3 room
+    centred at origin (cameras orbit inside looking outward)."""
+    h = size / 2
+    # pick a wall (6 faces) per feature, uniform position on the face
+    def on_faces(n):
+        face = rng.integers(0, 6, n)
+        uv = rng.uniform(-h, h, (n, 2))
+        pts = np.zeros((n, 3))
+        axis = face // 2                 # 0:x, 1:y, 2:z fixed
+        sign = np.where(face % 2 == 0, 1.0, -1.0)
+        for i in range(n):
+            others = [k for k in range(3) if k != axis[i]]
+            pts[i, axis[i]] = sign[i] * h
+            pts[i, others[0]] = uv[i, 0]
+            pts[i, others[1]] = uv[i, 1]
+        return pts, axis, sign
+
+    pts, _, _ = on_faces(n_points)
+
+    # lines: segments lying inside a wall plane
+    lp, axis, sign = on_faces(n_lines)
+    lines = np.zeros((n_lines, 2, 3))
+    for i in range(n_lines):
+        others = [k for k in range(3) if k != axis[i]]
+        d = np.zeros(3)
+        # direction within the wall plane
+        ang = rng.uniform(0, np.pi)
+        d[others[0]] = np.cos(ang)
+        d[others[1]] = np.sin(ang)
+        length = rng.uniform(0.8, 2.5)
+        lines[i, 0] = lp[i] - d * length / 2
+        lines[i, 1] = lp[i] + d * length / 2
+        lines[i] = np.clip(lines[i], -h, h)
+        lines[i, :, axis[i]] = sign[i] * h
+    return Scene(
+        points=pts,
+        lines=lines,
+        point_polarity=rng.choice([-1.0, 1.0], n_points),
+        line_polarity=rng.choice([-1.0, 1.0], n_lines),
+    )
+
+
+def make_orbit_trajectory(duration: float = 10.0, fps: float = 20.0,
+                          radius: float = 1.5, height_amp: float = 0.3,
+                          omega: float = 0.45) -> SyntheticTrajectory:
+    """Camera orbits inside the room looking outward at the walls.
+
+    Closed-form smooth trajectory; velocity by analytic differentiation.
+    The body/camera z-axis (optical axis) points radially outward.
+    """
+    t = np.arange(0.0, duration, 1.0 / fps)
+    return _eval_orbit(t, radius, height_amp, omega)
+
+
+def _eval_orbit(t: np.ndarray, radius: float, height_amp: float,
+                omega: float) -> SyntheticTrajectory:
+    th = omega * t
+    p = np.stack([radius * np.cos(th), radius * np.sin(th),
+                  height_amp * np.sin(2.1 * omega * t)], axis=-1)
+    v = np.stack([-radius * omega * np.sin(th), radius * omega * np.cos(th),
+                  height_amp * 2.1 * omega * np.cos(2.1 * omega * t)], axis=-1)
+    # optical axis = radial outward (+ small pitch bob), camera x right, y down
+    look = np.stack([np.cos(th), np.sin(th), 0.12 * np.sin(1.3 * omega * t)], axis=-1)
+    look /= np.linalg.norm(look, axis=-1, keepdims=True)
+    world_down = np.array([0.0, 0.0, -1.0])
+    x = np.cross(world_down, look)      # camera x (right)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    y = np.cross(look, x)               # camera y (down-ish)
+    R = np.stack([x, y, look], axis=-1)  # columns are camera axes in world
+    return SyntheticTrajectory(timestamps=t, R_wb=R, p_wb=p, v_wb=v)
+
+
+def synthesize_imu(rng: np.random.Generator, duration: float,
+                   imu_rate: float = 200.0, radius: float = 1.5,
+                   height_amp: float = 0.3, omega: float = 0.45,
+                   noise_gyro: float = 1.7e-4, noise_acc: float = 2.0e-3,
+                   bias_gyro_mag: float = 0.002, bias_acc_mag: float = 0.02,
+                   ) -> SyntheticImu:
+    """IMU measurements along the orbit trajectory.
+
+    Angular velocity / acceleration derived by central finite differences
+    on a fine grid (error O(dt^2), dt = 1/imu_rate); gravity enters as the
+    measured specific force a_m = R_bw (a_w - g_w) + b_a + noise
+    (matching the preintegration model, reference: src/ImuTypes.cc:255).
+    """
+    from ..utils import lie
+    import jax.numpy as jnp
+
+    dt = 1.0 / imu_rate
+    t = np.arange(dt, duration - dt, dt)
+    fine = _eval_orbit(np.concatenate([t - dt, t, t + dt]), radius, height_amp, omega)
+    n = len(t)
+    Rm, R0, Rp = fine.R_wb[:n], fine.R_wb[n:2 * n], fine.R_wb[2 * n:]
+    vm, vp = fine.v_wb[:n], fine.v_wb[2 * n:]
+
+    # w_body: log(R(t-dt)^T R(t+dt)) / (2 dt)
+    dR = np.einsum("nij,nik->njk", Rm, Rp)  # Rm^T @ Rp
+    w_body = np.asarray(lie.so3_log(jnp.asarray(dR, jnp.float32)), np.float64) / (2 * dt)
+    a_world = (vp - vm) / (2 * dt)
+    g_w = np.array([0.0, 0.0, -GRAVITY])
+    a_body = np.einsum("nij,ni->nj", R0, a_world - g_w)  # R_bw = R0^T
+
+    bg = rng.normal(0, bias_gyro_mag, 3)
+    ba = rng.normal(0, bias_acc_mag, 3)
+    sqrt_rate = np.sqrt(imu_rate)
+    gyro = w_body + bg + rng.normal(0, noise_gyro * sqrt_rate, (n, 3))
+    acc = a_body + ba + rng.normal(0, noise_acc * sqrt_rate, (n, 3))
+    return SyntheticImu(timestamps=t, gyro=gyro, acc=acc, bias_gyro=bg, bias_acc=ba)
+
+
+# --------------------------------------------------------------------------
+# Rendering (host-side, numpy/cv2 — test/bench utility, not a device op)
+# --------------------------------------------------------------------------
+
+def project_scene(scene: Scene, R_wc: np.ndarray, p_wc: np.ndarray,
+                  fx: float, fy: float, cx: float, cy: float,
+                  width: int, height: int, margin: float = 8.0):
+    """Oracle projections for one camera pose.
+
+    Returns (uv [P,2], depth [P], visible [P]) for points and
+    (uv_ep [L,2,2], visible_l [L]) for line endpoints.
+    """
+    R_cw = R_wc.T
+    pc = (R_cw @ (scene.points - p_wc).T).T
+    z = pc[:, 2]
+    uv = np.stack([fx * pc[:, 0] / np.maximum(z, 1e-6) + cx,
+                   fy * pc[:, 1] / np.maximum(z, 1e-6) + cy], axis=-1)
+    vis = (z > 0.2) & (uv[:, 0] >= margin) & (uv[:, 0] < width - margin) \
+        & (uv[:, 1] >= margin) & (uv[:, 1] < height - margin)
+
+    lc = np.einsum("ij,lkj->lki", R_cw, scene.lines - p_wc)
+    zl = lc[..., 2]
+    uv_l = np.stack([fx * lc[..., 0] / np.maximum(zl, 1e-6) + cx,
+                     fy * lc[..., 1] / np.maximum(zl, 1e-6) + cy], axis=-1)
+    vis_l = np.all((zl > 0.2), axis=-1) \
+        & np.all((uv_l[..., 0] >= margin) & (uv_l[..., 0] < width - margin)
+                 & (uv_l[..., 1] >= margin) & (uv_l[..., 1] < height - margin), axis=-1)
+    return uv, z, vis, uv_l, vis_l
+
+
+def render_frame(scene: Scene, R_wc: np.ndarray, p_wc: np.ndarray,
+                 fx: float = 458.654, fy: float = 457.296,
+                 cx: float = 367.215, cy: float = 248.375,
+                 width: int = 752, height: int = 480,
+                 rng: Optional[np.random.Generator] = None,
+                 noise: float = 2.0, blob_r: int = 3) -> np.ndarray:
+    """Render a grayscale frame: textured blobs at point projections and
+    dark/bright segments for lines over a mid-gray background."""
+    import cv2
+
+    img = np.full((height, width), 128.0, np.float32)
+    uv, z, vis, uv_l, vis_l = project_scene(
+        scene, R_wc, p_wc, fx, fy, cx, cy, width, height)
+
+    for i in np.nonzero(vis_l)[0]:
+        col = 128.0 + 90.0 * scene.line_polarity[i]
+        p0 = tuple(np.round(uv_l[i, 0]).astype(int))
+        p1 = tuple(np.round(uv_l[i, 1]).astype(int))
+        cv2.line(img, p0, p1, float(col), 2, cv2.LINE_AA)
+
+    for i in np.nonzero(vis)[0]:
+        col = 128.0 + 100.0 * scene.point_polarity[i]
+        # square blobs give strong FAST corner responses at all 4 corners;
+        # draw as a filled circle to get a single dominant corner-ish blob
+        c = tuple(np.round(uv[i]).astype(int))
+        r = max(2, int(round(blob_r * 2.0 / max(z[i], 0.5))))
+        cv2.circle(img, c, r, float(col), -1, cv2.LINE_AA)
+
+    img = cv2.GaussianBlur(img, (3, 3), 0.8)
+    if rng is not None and noise > 0:
+        img = img + rng.normal(0, noise, img.shape).astype(np.float32)
+    return np.clip(img, 0, 255)
