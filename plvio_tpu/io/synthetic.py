@@ -47,7 +47,7 @@ class SyntheticImu:
     bias_acc: np.ndarray         # [3]
 
 
-def make_room_scene(rng: np.random.Generator, n_points: int = 600,
+def make_room_scene(rng: np.random.Generator, n_points: int = 2000,
                     n_lines: int = 60, size: float = 6.0) -> Scene:
     """Points and lines on the walls/floor/ceiling of a [size]^3 room
     centred at origin (cameras orbit inside looking outward)."""
@@ -183,10 +183,38 @@ def project_scene(scene: Scene, R_wc: np.ndarray, p_wc: np.ndarray,
     zl = lc[..., 2]
     uv_l = np.stack([fx * lc[..., 0] / np.maximum(zl, 1e-6) + cx,
                      fy * lc[..., 1] / np.maximum(zl, 1e-6) + cy], axis=-1)
-    vis_l = np.all((zl > 0.2), axis=-1) \
-        & np.all((uv_l[..., 0] >= margin) & (uv_l[..., 0] < width - margin)
-                 & (uv_l[..., 1] >= margin) & (uv_l[..., 1] < height - margin), axis=-1)
-    return uv, z, vis, uv_l, vis_l
+    # clip each projected segment to the image rect (Liang-Barsky) so
+    # partially visible lines still count, as a real detector would see them
+    uv_clip = uv_l.copy()
+    vis_l = np.zeros(len(uv_l), bool)
+    lo = np.array([margin, margin])
+    hi = np.array([width - margin, height - margin])
+    min_len = 0.04 * min(width, height)
+    for i in range(len(uv_l)):
+        if zl[i, 0] <= 0.2 or zl[i, 1] <= 0.2:
+            continue
+        p0, d = uv_l[i, 0], uv_l[i, 1] - uv_l[i, 0]
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for k in range(2):
+            for bound, sign in ((lo[k], 1.0), (hi[k], -1.0)):
+                denom = sign * d[k]
+                num = sign * (bound - p0[k])
+                if abs(denom) < 1e-12:
+                    if num > 0:
+                        ok = False
+                else:
+                    t = num / denom
+                    if denom > 0:
+                        t0 = max(t0, t)
+                    else:
+                        t1 = min(t1, t)
+        if ok and t0 < t1:
+            a, b = p0 + t0 * d, p0 + t1 * d
+            if np.linalg.norm(b - a) >= min_len:
+                uv_clip[i, 0], uv_clip[i, 1] = a, b
+                vis_l[i] = True
+    return uv, z, vis, uv_clip, vis_l
 
 
 def render_frame(scene: Scene, R_wc: np.ndarray, p_wc: np.ndarray,

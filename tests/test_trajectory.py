@@ -51,8 +51,8 @@ def test_rpe_zero_for_identical():
 
 
 def test_synthetic_render_smoke(rng):
-    scene = syn.make_room_scene(rng, n_points=200, n_lines=20)
-    s = syn.make_orbit_trajectory(duration=1.0)
+    scene = syn.make_room_scene(rng, n_points=4000, n_lines=80)
+    s = syn.make_orbit_trajectory(duration=1.0, radius=0.6)
     img = syn.render_frame(scene, s.R_wb[0], s.p_wb[0], rng=rng)
     assert img.shape == (480, 752)
     assert img.std() > 2.0  # actually textured (sparse blobs on gray bg)
