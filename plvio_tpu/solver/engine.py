@@ -1,0 +1,377 @@
+"""The masked Gauss-Newton / Levenberg-Marquardt engine.
+
+This single module replaces the reference's ~40 bespoke g2o optimizer entry
+points (reference: include/Optimizer.h:57-162, src/Optimizer.cc — 14.7k
+LoC of hand-written vertices/edges/solvers).  Design (SURVEY §7.0):
+
+* All *non-landmark* state (keyframe poses, velocities, biases, Sim3s,
+  gravity direction, scale, ...) concatenates into ONE dense state vector
+  with a static block layout.  Its Hessian is assembled densely — at SLAM
+  sizes (tens of keyframes x 6..15 DoF) a dense MXU Cholesky beats any
+  sparse structure the reference's CPU solver needed.
+* Landmarks (3-DoF points, 6-DoF line endpoints) are Schur-eliminated:
+  block-diagonal H_pp inverted batched (closed-form 3x3 / two 3x3 for
+  lines), coupling B kept dense [S, P*dof] so the reduced camera system
+  S_red = H_cc - B D^-1 B^T is two big matmuls (reference: g2o
+  BlockSolver::schur, Thirdparty/g2o/g2o/core/block_solver.h).
+* Every residual ("edge") is a pure function  res_fn(block_states,
+  deltas, const) -> r  that applies its own retraction internally;
+  linearization is vmapped jacfwd at delta=0 — exact Jacobians with no
+  hand-derived 500-line `linearizeOplus` (reference: src/G2oTypes.cc,
+  src/OptimizableTypes.cpp).
+* Robustness: Huber IRLS weights in-graph; outlier rejection is chi2
+  masking between fixed-trip-count rounds, replacing g2o edge levels
+  (reference pattern: src/Optimizer.cc:2963-3075 — 4 rounds x 10 iters).
+
+Everything below is shape-static and jit-safe.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# Dense state layout
+# --------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class BlockDef:
+    """A family of dense state blocks (e.g. 'kf_pose' x N keyframes)."""
+    name: str
+    count: int
+    dof: int
+
+
+class DenseLayout:
+    """Static offsets of each block family in the dense state vector."""
+
+    def __init__(self, blocks: Sequence[BlockDef]):
+        self.blocks = {b.name: b for b in blocks}
+        self.offsets: Dict[str, int] = {}
+        off = 0
+        for b in blocks:
+            self.offsets[b.name] = off
+            off += b.count * b.dof
+        self.total = off
+
+    def offset_of(self, name: str, idx: jnp.ndarray) -> jnp.ndarray:
+        """Start offset(s) of block instance(s) `idx` of family `name`."""
+        b = self.blocks[name]
+        return self.offsets[name] + idx * b.dof
+
+    def slice_delta(self, delta: jnp.ndarray, name: str) -> jnp.ndarray:
+        """Extract [count, dof] deltas of one family from the dense delta."""
+        b = self.blocks[name]
+        off = self.offsets[name]
+        return delta[off:off + b.count * b.dof].reshape(b.count, b.dof)
+
+
+# --------------------------------------------------------------------------
+# Terms (residual batches)
+# --------------------------------------------------------------------------
+
+@dataclass
+class Term:
+    """A batch of K identical residuals ("edges").
+
+    res_fn(blocks, deltas, const) -> r [rdim]
+      blocks: tuple of per-obs state slices (one per ref, in order
+              dense refs then landmark ref)
+      deltas: tuple of [dof] tangent vectors (same order); the residual
+              applies its own retraction
+      const:  per-obs constant pytree (measurements, calib, ...)
+    """
+    name: str
+    res_fn: Callable
+    rdim: int
+    # dense block references: list of (family_name, idx_array [K])
+    dense_refs: List[Tuple[str, jnp.ndarray]]
+    # optional landmark reference (family handled by Schur): (name, idx [K])
+    lm_ref: Optional[Tuple[str, jnp.ndarray]] = None
+    const: Any = None
+    mask: Optional[jnp.ndarray] = None          # [K] bool
+    info: Optional[jnp.ndarray] = None          # [K] | [K,rdim] | [K,rdim,rdim]
+    robust_delta: float = 0.0                   # 0 = no robustifier
+    chi2_th: float = 0.0                        # 0 = no gating info returned
+
+
+@dataclass(frozen=True)
+class LandmarkFamily:
+    name: str
+    count: int
+    dof: int    # 3 for points, 6 for line endpoints
+
+
+# --------------------------------------------------------------------------
+# Linearization
+# --------------------------------------------------------------------------
+
+def _whiten(r, J, info):
+    """Apply sqrt-information to residual [K,d] and Jacobian [K,d,n]."""
+    if info is None:
+        return r, J
+    if info.ndim == 1:          # scalar per obs
+        s = jnp.sqrt(info)[:, None]
+        return r * s, J * s[..., None]
+    if info.ndim == 2:          # diagonal per obs
+        s = jnp.sqrt(info)
+        return r * s, J * s[..., None]
+    # full matrix: use cholesky L^T so that |L^T r|^2 = r^T Info r
+    L = jnp.linalg.cholesky(info)                 # [K,d,d]
+    Lt = jnp.swapaxes(L, -1, -2)
+    return jnp.einsum("kij,kj->ki", Lt, r), jnp.einsum("kij,kjn->kin", Lt, J)
+
+
+# --------------------------------------------------------------------------
+# Problem: assembly + solve
+# --------------------------------------------------------------------------
+
+class Problem:
+    """A nonlinear least-squares problem instance.
+
+    states: dict name -> array [count, ...raw shape]
+    dense block families declared with dof + retract; landmark families
+    Schur-eliminated.  All counts/capacities static.
+    """
+
+    def __init__(self):
+        self._dense: List[BlockDef] = []
+        self._lm: Dict[str, LandmarkFamily] = {}
+        self._retract: Dict[str, Callable] = {}
+        self._dofs: Dict[str, int] = {}
+        self.terms: List[Term] = []
+
+    # -- declaration ------------------------------------------------------
+    def add_dense(self, name: str, count: int, dof: int, retract: Callable):
+        self._dense.append(BlockDef(name, count, dof))
+        self._retract[name] = retract
+        self._dofs[name] = dof
+
+    def add_landmarks(self, name: str, count: int, dof: int, retract: Callable):
+        self._lm[name] = LandmarkFamily(name, count, dof)
+        self._retract[name] = retract
+        self._dofs[name] = dof
+
+    def add_term(self, term: Term):
+        self.terms.append(term)
+
+    # -- linearize one term ----------------------------------------------
+    def _linearize(self, term: Term, states):
+        refs = list(term.dense_refs) + ([term.lm_ref] if term.lm_ref else [])
+        gathered = tuple(states[name][idx] for name, idx in refs)
+        dofs = [self._dofs[name] for name, _ in refs]
+        splits = np.cumsum(dofs)[:-1].tolist()
+        n = int(np.sum(dofs))
+
+        def f_single(delta_concat, blocks, const):
+            deltas = tuple(jnp.split(delta_concat, splits)) if splits else (delta_concat,)
+            return term.res_fn(blocks, deltas, const)
+
+        K = refs[0][1].shape[0]
+        zeros = jnp.zeros((K, n), jnp.float32)
+
+        def r_and_J(delta, blocks, const):
+            return f_single(delta, blocks, const), jax.jacfwd(f_single)(delta, blocks, const)
+
+        r, J = jax.vmap(r_and_J)(zeros, gathered, term.const)
+        r_w, J_w = _whiten(r, J, term.info)
+        chi2 = jnp.sum(r_w * r_w, axis=-1)
+        if term.robust_delta > 0:
+            s = jnp.sqrt(jnp.maximum(chi2, 1e-18))
+            w = jnp.minimum(1.0, term.robust_delta / s)
+        else:
+            w = jnp.ones_like(chi2)
+        if term.mask is not None:
+            w = w * term.mask.astype(w.dtype)
+        return r_w, J_w, w, chi2, dofs
+
+    # -- assemble + one damped GN step -----------------------------------
+    def build_normal_equations(self, states):
+        """Assemble dense H [S,S], g [S], landmark H_pp/g_p, coupling B.
+
+        Returns (H, g, lm_sys, total_cost, chi2_by_term) where lm_sys maps
+        landmark family -> (Hpp [P,dof,dof], gp [P,dof], B [S, P*dof]).
+        """
+        layout = DenseLayout(self._dense)
+        S = max(layout.total, 1)
+        H = jnp.zeros((S, S), jnp.float32)
+        g = jnp.zeros((S,), jnp.float32)
+        lm_sys = {name: [jnp.zeros((f.count, f.dof, f.dof), jnp.float32),
+                         jnp.zeros((f.count, f.dof), jnp.float32),
+                         jnp.zeros((S, f.count * f.dof), jnp.float32)]
+                  for name, f in self._lm.items()}
+        total_cost = jnp.float32(0.0)
+        chi2_by_term = {}
+
+        for term in self.terms:
+            r, J, w, chi2, dofs = self._linearize(term, states)
+            chi2_by_term[term.name] = chi2
+            total_cost = total_cost + jnp.sum(w * chi2)
+            Jw = J * w[:, None, None]
+            nd = len(term.dense_refs)
+            # split J into per-ref column groups
+            col_splits = np.cumsum(dofs)[:-1].tolist()
+            Jparts = jnp.split(J, col_splits, axis=2) if col_splits else [J]
+
+            # dense x dense block products
+            for a in range(nd):
+                name_a, idx_a = term.dense_refs[a]
+                off_a = layout.offset_of(name_a, idx_a)          # [K]
+                da = dofs[a]
+                ga = -jnp.einsum("kdi,kd->ki", Jparts[a] * w[:, None, None], r)
+                rows = off_a[:, None] + jnp.arange(da)[None, :]
+                g = g.at[rows].add(ga)
+                for b in range(nd):
+                    name_b, idx_b = term.dense_refs[b]
+                    off_b = layout.offset_of(name_b, idx_b)
+                    db = dofs[b]
+                    Hab = jnp.einsum("kdi,kdj->kij", Jparts[a] * w[:, None, None],
+                                     Jparts[b])                  # [K,da,db]
+                    rr = rows[:, :, None]
+                    cc = (off_b[:, None] + jnp.arange(db)[None, :])[:, None, :]
+                    H = H.at[rr, cc].add(Hab)
+
+            # landmark coupling
+            if term.lm_ref is not None:
+                lname, lidx = term.lm_ref
+                fam = self._lm[lname]
+                dl = fam.dof
+                Jl = Jparts[nd]
+                Hpp, gp, B = lm_sys[lname]
+                Hll = jnp.einsum("kdi,kdj->kij", Jl * w[:, None, None], Jl)
+                gl = -jnp.einsum("kdi,kd->ki", Jl * w[:, None, None], r)
+                Hpp = Hpp.at[lidx].add(Hll)
+                gp = gp.at[lidx].add(gl)
+                for a in range(nd):
+                    name_a, idx_a = term.dense_refs[a]
+                    off_a = layout.offset_of(name_a, idx_a)
+                    da = dofs[a]
+                    Hal = jnp.einsum("kdi,kdj->kij", Jparts[a] * w[:, None, None], Jl)
+                    rr = (off_a[:, None] + jnp.arange(da)[None, :])[:, :, None]
+                    cc = (lidx[:, None] * dl + jnp.arange(dl)[None, :])[:, None, :]
+                    B = B.at[rr, cc].add(Hal)
+                lm_sys[lname] = [Hpp, gp, B]
+
+        return layout, H, g, lm_sys, total_cost, chi2_by_term
+
+    def solve_step(self, states, lam: jnp.ndarray,
+                   dense_free_mask: Optional[Dict[str, jnp.ndarray]] = None,
+                   lm_free_mask: Optional[Dict[str, jnp.ndarray]] = None):
+        """One damped step: returns (new_states, cost, chi2_by_term).
+
+        dense_free_mask[name]: [count] bool — False freezes that block
+        (the reference's `setFixed` vertices).  lm_free_mask likewise for
+        landmarks (invalid/padded landmarks MUST be masked out).
+        """
+        layout, H, g, lm_sys, cost, chi2s = self.build_normal_equations(states)
+        S = H.shape[0]
+
+        free = jnp.ones((S,), jnp.float32)
+        if dense_free_mask:
+            for name, m in dense_free_mask.items():
+                b = layout.blocks[name]
+                fm = jnp.repeat(m.astype(jnp.float32), b.dof)
+                free = free.at[layout.offsets[name]:
+                               layout.offsets[name] + b.count * b.dof].set(fm)
+
+        # LM damping (multiplicative on diagonal)
+        diag = jnp.diagonal(H)
+        H = H + jnp.diag(diag * lam + 1e-6)
+
+        # Schur-eliminate each landmark family
+        rhs = g
+        schur_data = {}
+        for name, (Hpp, gp, B) in lm_sys.items():
+            fam = self._lm[name]
+            lfree = None if not lm_free_mask else lm_free_mask.get(name)
+            if lfree is not None:
+                lf = lfree.astype(jnp.float32)
+                Hpp = Hpp * lf[:, None, None]
+                gp = gp * lf[:, None]
+            dl = fam.dof
+            dpp = jnp.einsum("pii->pi", Hpp)
+            Hpp_d = Hpp + jax.vmap(jnp.diag)(dpp * lam + 1e-6)
+            # mask out empty landmarks so inverse is safe
+            occupied = dpp.sum(-1) > 1e-9
+            if lfree is not None:
+                occupied = occupied & lfree
+            eye = jnp.eye(dl, dtype=jnp.float32)
+            Hpp_d = jnp.where(occupied[:, None, None], Hpp_d, eye[None])
+            Dinv = jnp.linalg.inv(Hpp_d)
+            Dinv = jnp.where(occupied[:, None, None], Dinv, 0.0)
+            B3 = B.reshape(S, fam.count, dl)
+            if lfree is not None:
+                B3 = B3 * lfree.astype(jnp.float32)[None, :, None]
+            BD = jnp.einsum("spi,pij->spj", B3, Dinv)
+            H = H - jnp.einsum("spi,tpi->st", BD, B3)
+            rhs = rhs - jnp.einsum("spi,pi->s", BD, gp)
+            schur_data[name] = (Dinv, B3, gp, occupied)
+
+        # freeze fixed dense blocks AFTER the reduction: zero their
+        # rows/cols in the reduced system, unit diagonal, zero rhs —
+        # otherwise Schur fill-in re-couples fixed blocks into the solve
+        H = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
+        rhs = rhs * free
+
+        # dense solve (Cholesky with jitter fallback via solve)
+        dx = jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(H, lower=True), rhs)
+        dx = dx * free
+
+        # back-substitute landmarks
+        new_states = dict(states)
+        for name, (Dinv, B3, gp, occupied) in schur_data.items():
+            fam = self._lm[name]
+            rhs_p = gp - jnp.einsum("spi,s->pi", B3, dx)
+            dxp = jnp.einsum("pij,pj->pi", Dinv, rhs_p)
+            dxp = dxp * occupied[:, None]
+            new_states[name] = self._retract[name](states[name], dxp)
+
+        for bd in self._dense:
+            d = layout.slice_delta(dx, bd.name)
+            new_states[bd.name] = self._retract[bd.name](states[bd.name], d)
+
+        return new_states, cost, chi2s
+
+    def cost(self, states):
+        total = jnp.float32(0.0)
+        chi2s = {}
+        for term in self.terms:
+            r, J, w, chi2, _ = self._linearize(term, states)
+            chi2s[term.name] = chi2
+            total = total + jnp.sum(w * chi2)
+        return total, chi2s
+
+
+def optimize(problem: Problem, states, iters: int = 10, lam0: float = 1e-4,
+             dense_free_mask=None, lm_free_mask=None):
+    """Fixed-trip-count LM loop with branchless accept/reject.
+
+    Mirrors `optimizer.optimize(n)` (reference pattern used ~40x in
+    src/Optimizer.cc).  Returns (states, final chi2_by_term).
+    """
+
+    def body(carry, _):
+        states, lam, cost_prev = carry
+        new_states, cost_lin, chi2s = problem.solve_step(
+            states, lam, dense_free_mask, lm_free_mask)
+        new_cost, _ = problem.cost(new_states)
+        accept = new_cost < cost_prev
+        states_out = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), new_states, states)
+        lam_out = jnp.where(accept, lam * 0.5, lam * 4.0)
+        lam_out = jnp.clip(lam_out, 1e-8, 1e4)
+        cost_out = jnp.where(accept, new_cost, cost_prev)
+        return (states_out, lam_out, cost_out), None
+
+    cost0, _ = problem.cost(states)
+    (states, lam, cost), _ = jax.lax.scan(
+        body, (states, jnp.float32(lam0), cost0), None, length=iters)
+    final_cost, chi2s = problem.cost(states)
+    return states, final_cost, chi2s

@@ -1,0 +1,298 @@
+"""Residual ("edge") library for the GN/LM engine.
+
+Each function here is the TPU-native equivalent of one g2o edge family in
+the reference (reference: include/G2oTypes.h, include/OptimizableTypes.h,
+Thirdparty/g2o/g2o/types/types_six_dof_expmap.h).  A residual is a pure
+function  res(blocks, deltas, const) -> r  that applies its own retraction
+to each referenced state block; the engine differentiates it with jacfwd,
+so there are no hand-written `linearizeOplus` Jacobians to get wrong.
+
+State block storage conventions
+-------------------------------
+pose_cw  [3,4]  (R_cw | t_cw), world->camera.  Left-multiplicative se3
+                retract  T <- Exp(d) T, delta = (rho, phi)
+                (g2o VertexSE3Expmap convention used by all visual edges).
+pose_wb  [3,4]  (R_wb | p_wb), body->world.  Retract R <- R Exp(dphi),
+                p <- p + dp, delta = (dp, dphi)
+                (reference VertexPose/ImuCamPose, include/G2oTypes.h:127).
+vel/bias [3]    additive.
+point    [3]    additive (g2o VertexSBAPointXYZ).
+line     [6]    two stacked 3D endpoints, additive
+                (fork-added g2o VertexSBALineXYZ, types_sba.h:61; MapLine
+                stores endpoints, include/MapLine.h:110-111).
+gdir     [3,3]  R_wg gravity rotation, 2-DoF retract R <- R Exp(dx,dy,0)
+                (reference VertexGDir, include/G2oTypes.h:271).
+scale    [1]    s <- s * exp(d) (reference VertexScale, G2oTypes.h:293).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import lie
+
+
+# --------------------------------------------------------------------------
+# Retractions (shared by residuals and by the engine's state update)
+# --------------------------------------------------------------------------
+
+def retract_pose_cw_single(P: jnp.ndarray, d: jnp.ndarray):
+    R, t = P[:, :3], P[:, 3]
+    dR, dt = lie.se3_exp(d)
+    return dR @ R, dR @ t + dt
+
+
+def retract_pose_cw(P: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Batched engine retract: [N,3,4], [N,6] -> [N,3,4]."""
+    R, t = P[..., :3], P[..., 3]
+    dR, dt = lie.se3_exp(d)
+    Rn = dR @ R
+    tn = (dR @ t[..., None])[..., 0] + dt
+    return jnp.concatenate([lie.so3_normalize(Rn), tn[..., None]], axis=-1)
+
+
+def retract_pose_wb_single(P: jnp.ndarray, d: jnp.ndarray):
+    R, p = P[:, :3], P[:, 3]
+    return R @ lie.so3_exp(d[3:]), p + d[:3]
+
+
+def retract_pose_wb(P: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    R, p = P[..., :3], P[..., 3]
+    Rn = lie.so3_normalize(R @ lie.so3_exp(d[..., 3:]))
+    pn = p + d[..., :3]
+    return jnp.concatenate([Rn, pn[..., None]], axis=-1)
+
+
+def retract_additive(x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    return x + d
+
+
+def retract_gdir(R: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """[N,3,3], [N,2] -> [N,3,3]."""
+    d3 = jnp.concatenate([d, jnp.zeros_like(d[..., :1])], axis=-1)
+    return lie.so3_normalize(R @ lie.so3_exp(d3))
+
+
+def retract_scale(s: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    return s * jnp.exp(d)
+
+
+def pose34(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate([R, t[..., None]], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# Camera closure
+# --------------------------------------------------------------------------
+
+class PinholeK(NamedTuple):
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+
+
+def _project(K: PinholeK, pc: jnp.ndarray) -> jnp.ndarray:
+    z = jnp.maximum(pc[2], 1e-4)  # soft guard; behind-camera points are
+    # rejected by chi2 masks between rounds (replacing g2o isDepthPositive)
+    return jnp.stack([K.fx * pc[0] / z + K.cx, K.fy * pc[1] / z + K.cy])
+
+
+# --------------------------------------------------------------------------
+# Visual point residuals
+# --------------------------------------------------------------------------
+
+def make_point_reproj(K: PinholeK):
+    """Full BA edge: (pose_cw, point) (reference g2o EdgeSE3ProjectXYZ /
+    OptimizableTypes.h:177).  const = {'uv': [2]} measured pixel."""
+    def res(blocks, deltas, const):
+        P, X = blocks
+        dp, dX = deltas
+        R, t = retract_pose_cw_single(P, dp)
+        pc = R @ (X + dX) + t
+        return _project(K, pc) - const["uv"]
+    return res
+
+
+def make_point_reproj_fixed(K: PinholeK):
+    """Pose-only edge: landmark is a constant (reference
+    EdgeSE3ProjectXYZOnlyPose, OptimizableTypes.h:32).
+    const = {'uv': [2], 'X': [3]}."""
+    def res(blocks, deltas, const):
+        (P,) = blocks
+        (dp,) = deltas
+        R, t = retract_pose_cw_single(P, dp)
+        pc = R @ const["X"] + t
+        return _project(K, pc) - const["uv"]
+    return res
+
+
+def make_stereo_reproj_fixed(K: PinholeK, bf: float):
+    """Pose-only stereo edge with 3rd residual u_R = u - bf/z (reference
+    g2o EdgeStereoSE3ProjectXYZOnlyPose).  const = {'uvr': [3], 'X': [3]}."""
+    def res(blocks, deltas, const):
+        (P,) = blocks
+        (dp,) = deltas
+        R, t = retract_pose_cw_single(P, dp)
+        pc = R @ const["X"] + t
+        z = jnp.maximum(pc[2], 1e-4)
+        u = K.fx * pc[0] / z + K.cx
+        v = K.fy * pc[1] / z + K.cy
+        ur = u - bf / z
+        return jnp.stack([u, v, ur]) - const["uvr"]
+    return res
+
+
+# --------------------------------------------------------------------------
+# Line residuals: both projected endpoints against the observed 2D
+# normalized line equation l=(a,b,c), |(a,b)|=1 (reference
+# EdgeLineSE3ProjectXYZOnlyPose, OptimizableTypes.h:305; binary version
+# :435 with VertexSBALineXYZ)
+# --------------------------------------------------------------------------
+
+def make_line_reproj(K: PinholeK):
+    """(pose_cw, line6) -> r[2]: signed point-line distance of each
+    projected endpoint.  const = {'l': [3]} observed normalized line eq."""
+    def res(blocks, deltas, const):
+        P, L = blocks
+        dp, dL = deltas
+        R, t = retract_pose_cw_single(P, dp)
+        Ln = L + dL
+        l = const["l"]
+        r = []
+        for k in range(2):
+            pc = R @ Ln[3 * k:3 * k + 3] + t
+            uv = _project(K, pc)
+            r.append(l[0] * uv[0] + l[1] * uv[1] + l[2])
+        return jnp.stack(r)
+    return res
+
+
+def make_line_reproj_fixed(K: PinholeK):
+    """Pose-only line edge.  const = {'l': [3], 'Xs': [3], 'Xe': [3]}."""
+    def res(blocks, deltas, const):
+        (P,) = blocks
+        (dp,) = deltas
+        R, t = retract_pose_cw_single(P, dp)
+        l = const["l"]
+        out = []
+        for key in ("Xs", "Xe"):
+            uv = _project(K, R @ const[key] + t)
+            out.append(l[0] * uv[0] + l[1] * uv[1] + l[2])
+        return jnp.stack(out)
+    return res
+
+
+def make_line_angle_fixed(K: PinholeK):
+    """Optional angle-consistency residual between projected segment
+    direction and observed direction (reference
+    EdgeLineSE3ProjectXYZOnlyPoseangle, OptimizableTypes.h:346);
+    const = {'dir': [2] observed unit direction, 'Xs','Xe'}."""
+    def res(blocks, deltas, const):
+        (P,) = blocks
+        (dp,) = deltas
+        R, t = retract_pose_cw_single(P, dp)
+        uv_s = _project(K, R @ const["Xs"] + t)
+        uv_e = _project(K, R @ const["Xe"] + t)
+        d = uv_e - uv_s
+        d = d / jnp.maximum(jnp.linalg.norm(d), 1e-6)
+        # sin of angle between directions (sign-free via cross product)
+        return jnp.stack([d[0] * const["dir"][1] - d[1] * const["dir"][0]])
+    return res
+
+
+# --------------------------------------------------------------------------
+# Inertial residuals (reference EdgeInertial, include/G2oTypes.h:637:
+# 9-dim preintegration residual across (pose1, v1, bg, ba, pose2, v2))
+# --------------------------------------------------------------------------
+
+def make_inertial(gravity: float = 9.81):
+    """blocks = (pose_wb1, vel1, bias_g, bias_a, pose_wb2, vel2).
+
+    const = {'dT','dR','dV','dP','JRg','JVg','JVa','JPg','JPa',
+             'bg0','ba0'} from the Preintegrated between the two states.
+    """
+    g_w = jnp.array([0.0, 0.0, -gravity], jnp.float32)
+
+    def res(blocks, deltas, const):
+        P1, v1, bg, ba, P2, v2 = blocks
+        dP1, dv1, dbg_, dba_, dP2, dv2 = deltas
+        R1, p1 = retract_pose_wb_single(P1, dP1)
+        R2, p2 = retract_pose_wb_single(P2, dP2)
+        v1 = v1 + dv1
+        v2 = v2 + dv2
+        bg_ = bg + dbg_
+        ba_ = ba + dba_
+        dbg = bg_ - const["bg0"]
+        dba = ba_ - const["ba0"]
+        dT = const["dT"]
+        dR_corr = const["dR"] @ lie.so3_exp(const["JRg"] @ dbg)
+        dV_corr = const["dV"] + const["JVg"] @ dbg + const["JVa"] @ dba
+        dP_corr = const["dP"] + const["JPg"] @ dbg + const["JPa"] @ dba
+        er = lie.so3_log(dR_corr.T @ R1.T @ R2)
+        ev = R1.T @ (v2 - v1 - g_w * dT) - dV_corr
+        ep = R1.T @ (p2 - p1 - v1 * dT - 0.5 * g_w * dT * dT) - dP_corr
+        return jnp.concatenate([er, ev, ep])
+    return res
+
+
+def make_inertial_gs(gravity: float = 9.81):
+    """IMU-initialization edge with free gravity direction and scale,
+    poses fixed (reference EdgeInertialGS, include/G2oTypes.h:690).
+
+    blocks = (gdir R_wg, scale[1], bias_g, bias_a, vel1, vel2)
+    const  = preintegration fields + fixed poses {'R1','p1','R2','p2'}.
+    """
+    g0 = jnp.array([0.0, 0.0, -gravity], jnp.float32)
+
+    def res(blocks, deltas, const):
+        Rwg, s, bg, ba, v1, v2 = blocks
+        dg, ds, dbg_, dba_, dv1, dv2 = deltas
+        Rwg = retract_gdir(Rwg, dg)
+        s = (s * jnp.exp(ds))[0]
+        bg_ = bg + dbg_
+        ba_ = ba + dba_
+        v1 = v1 + dv1
+        v2 = v2 + dv2
+        dbg = bg_ - const["bg0"]
+        dba = ba_ - const["ba0"]
+        g_w = Rwg @ g0
+        dT = const["dT"]
+        R1, p1, R2, p2 = const["R1"], const["p1"], const["R2"], const["p2"]
+        dR_corr = const["dR"] @ lie.so3_exp(const["JRg"] @ dbg)
+        dV_corr = const["dV"] + const["JVg"] @ dbg + const["JVa"] @ dba
+        dP_corr = const["dP"] + const["JPg"] @ dbg + const["JPa"] @ dba
+        er = lie.so3_log(dR_corr.T @ R1.T @ R2)
+        ev = R1.T @ (s * (v2 - v1) - g_w * dT) - dV_corr
+        ep = R1.T @ (s * (p2 - p1 - v1 * dT) - 0.5 * g_w * dT * dT) - dP_corr
+        return jnp.concatenate([er, ev, ep])
+    return res
+
+
+def bias_rw(blocks, deltas, const):
+    """Random-walk residual between consecutive biases (reference
+    EdgeGyroRW/EdgeAccRW, include/G2oTypes.h:777/813)."""
+    b1, b2 = blocks
+    d1, d2 = deltas
+    return (b2 + d2) - (b1 + d1)
+
+
+def make_prior15():
+    """Marginalization prior on (pose_wb, vel, bg, ba) (reference
+    ConstraintPoseImu + EdgePriorPoseImu, include/G2oTypes.h:848/893).
+    const = {'R0','p0','v0','bg0','ba0'}; info is the 15x15 prior H."""
+    def res(blocks, deltas, const):
+        P, v, bg, ba = blocks
+        dP, dv, dbg, dba = deltas
+        R, p = retract_pose_wb_single(P, dP)
+        er = lie.so3_log(const["R0"].T @ R)
+        return jnp.concatenate([
+            er,
+            p - const["p0"],
+            (v + dv) - const["v0"],
+            (bg + dbg) - const["bg0"],
+            (ba + dba) - const["ba0"],
+        ])
+    return res
