@@ -26,8 +26,12 @@ GRAVITY = 9.81
 class Scene:
     points: np.ndarray           # [P,3] world points
     lines: np.ndarray            # [L,2,3] world segment endpoints
-    point_polarity: np.ndarray   # [P] +-1 blob polarity (for rendering)
-    line_polarity: np.ndarray    # [L] +-1
+    point_polarity: np.ndarray   # [P] signed blob intensity (render)
+    line_polarity: np.ndarray    # [L] signed line intensity (render)
+    # render-only texture dots: unique constellations around each point so
+    # descriptors are distinctive and viewpoint-consistent
+    texture_dots: np.ndarray = field(default_factory=lambda: np.zeros((0, 3)))
+    texture_intensity: np.ndarray = field(default_factory=lambda: np.zeros(0))
 
 
 @dataclass
@@ -83,11 +87,31 @@ def make_room_scene(rng: np.random.Generator, n_points: int = 2000,
         lines[i, 1] = lp[i] + d * length / 2
         lines[i] = np.clip(lines[i], -h, h)
         lines[i, :, axis[i]] = sign[i] * h
+    # unique satellite-dot constellations around each point: 4 dots at
+    # per-point random in-plane offsets — viewpoint-consistent local
+    # texture that makes BRIEF descriptors distinctive
+    pts2, axis2, _ = pts, None, None
+    n_sat = 4
+    face_axis = np.argmax(np.abs(np.abs(pts) - h) < 1e-9, axis=1)
+    dots = np.zeros((n_points * n_sat, 3))
+    for i in range(n_points):
+        others = [k for k in range(3) if k != face_axis[i]]
+        offs = rng.uniform(-0.12, 0.12, (n_sat, 2))
+        # keep satellites off the blob itself
+        offs += np.sign(offs) * 0.05
+        for s in range(n_sat):
+            d = pts[i].copy()
+            d[others[0]] += offs[s, 0]
+            d[others[1]] += offs[s, 1]
+            dots[i * n_sat + s] = d
     return Scene(
         points=pts,
         lines=lines,
-        point_polarity=rng.choice([-1.0, 1.0], n_points),
-        line_polarity=rng.choice([-1.0, 1.0], n_lines),
+        point_polarity=rng.uniform(0.4, 1.0, n_points) * rng.choice([-1.0, 1.0], n_points),
+        line_polarity=rng.uniform(0.5, 1.0, n_lines) * rng.choice([-1.0, 1.0], n_lines),
+        texture_dots=dots,
+        texture_intensity=rng.uniform(0.3, 0.9, n_points * n_sat)
+        * rng.choice([-1.0, 1.0], n_points * n_sat),
     )
 
 
@@ -236,6 +260,21 @@ def render_frame(scene: Scene, R_wc: np.ndarray, p_wc: np.ndarray,
         p0 = tuple(np.round(uv_l[i, 0]).astype(int))
         p1 = tuple(np.round(uv_l[i, 1]).astype(int))
         cv2.line(img, p0, p1, float(col), 2, cv2.LINE_AA)
+
+    # texture dots first (underneath the main blobs)
+    if len(scene.texture_dots):
+        R_cw = R_wc.T
+        dc = (R_cw @ (scene.texture_dots - p_wc).T).T
+        zd = dc[:, 2]
+        uvd = np.stack([fx * dc[:, 0] / np.maximum(zd, 1e-6) + cx,
+                        fy * dc[:, 1] / np.maximum(zd, 1e-6) + cy], axis=-1)
+        ok = (zd > 0.2) & (uvd[:, 0] >= 0) & (uvd[:, 0] < width) \
+            & (uvd[:, 1] >= 0) & (uvd[:, 1] < height)
+        for i in np.nonzero(ok)[0]:
+            col = 128.0 + 90.0 * scene.texture_intensity[i]
+            c = tuple(np.round(uvd[i]).astype(int))
+            r = max(1, int(round(1.5 * 2.0 / max(zd[i], 0.5))))
+            cv2.circle(img, c, r, float(col), -1, cv2.LINE_AA)
 
     for i in np.nonzero(vis)[0]:
         col = 128.0 + 100.0 * scene.point_polarity[i]
