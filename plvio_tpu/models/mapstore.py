@@ -1,0 +1,251 @@
+"""Struct-of-arrays map store: the Atlas/Map/KeyFrame/MapPoint/MapLine
+data model re-designed for fixed-shape device compute.
+
+Replaces the reference's mutex-guarded object graph (reference:
+src/Atlas.cc, src/Map.cc, src/KeyFrame.cc:1704 LoC, src/MapPoint.cc,
+src/MapLine.cc, ~30 mutexes) with plain numpy arrays of fixed capacity and
+validity masks, mutated only by the host orchestration thread.  Device
+kernels receive read-only slices; "deleting" is mask-clearing; culling is
+masking (SURVEY §7.0).  Covisibility is a dense [K,K] count matrix updated
+by scatter — at MAX_KF=512 that is 0.5 MB, cheaper than any graph
+structure.
+
+One MapStore == one reference `Map`; the `Atlas` (multi-map container,
+reference include/Atlas.h:83-146) holds several and an active index.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+INVALID = -1
+
+
+class MapStore:
+    def __init__(self, max_kf: int = 512, max_pts: int = 16384,
+                 max_lines: int = 2048, n_feat: int = 1024,
+                 n_line_feat: int = 256, map_id: int = 0):
+        self.map_id = map_id
+        self.max_kf = max_kf
+        self.max_pts = max_pts
+        self.max_lines = max_lines
+        self.n_feat = n_feat
+        self.n_line_feat = n_line_feat
+
+        # ---- keyframes -------------------------------------------------
+        self.kf_valid = np.zeros(max_kf, bool)
+        self.kf_timestamp = np.zeros(max_kf, np.float64)
+        self.kf_pose_cw = np.tile(np.eye(3, 4, dtype=np.float32), (max_kf, 1, 1))
+        # inertial state (body frame): pose_wb, velocity, biases
+        self.kf_pose_wb = np.tile(np.eye(3, 4, dtype=np.float32), (max_kf, 1, 1))
+        self.kf_vel = np.zeros((max_kf, 3), np.float32)
+        self.kf_bias_g = np.zeros((max_kf, 3), np.float32)
+        self.kf_bias_a = np.zeros((max_kf, 3), np.float32)
+        # features (undistorted pixel coords)
+        self.kf_feat_uv = np.zeros((max_kf, n_feat, 2), np.float32)
+        self.kf_feat_octave = np.zeros((max_kf, n_feat), np.int32)
+        self.kf_feat_angle = np.zeros((max_kf, n_feat), np.float32)
+        self.kf_feat_desc = np.zeros((max_kf, n_feat, 8), np.uint32)  # packed
+        self.kf_feat_valid = np.zeros((max_kf, n_feat), bool)
+        self.kf_match_pt = np.full((max_kf, n_feat), INVALID, np.int32)
+        # line features: endpoints (undistorted) + packed LBD + map-line id
+        self.kf_line_ep = np.zeros((max_kf, n_line_feat, 4), np.float32)
+        self.kf_line_desc = np.zeros((max_kf, n_line_feat, 8), np.uint32)
+        self.kf_line_valid = np.zeros((max_kf, n_line_feat), bool)
+        self.kf_match_ln = np.full((max_kf, n_line_feat), INVALID, np.int32)
+        # temporal chain for inertial (reference mPrevKF/mNextKF)
+        self.kf_prev = np.full(max_kf, INVALID, np.int32)
+        self.kf_next = np.full(max_kf, INVALID, np.int32)
+        self.n_kf = 0
+
+        # ---- map points ------------------------------------------------
+        self.pt_valid = np.zeros(max_pts, bool)
+        self.pt_xyz = np.zeros((max_pts, 3), np.float32)
+        self.pt_desc = np.zeros((max_pts, 8), np.uint32)
+        self.pt_normal = np.zeros((max_pts, 3), np.float32)
+        self.pt_min_dist = np.zeros(max_pts, np.float32)
+        self.pt_max_dist = np.zeros(max_pts, np.float32)
+        self.pt_first_kf = np.full(max_pts, INVALID, np.int32)
+        self.pt_n_obs = np.zeros(max_pts, np.int32)
+        self.pt_found = np.zeros(max_pts, np.int32)    # matched-after-predicted
+        self.pt_visible = np.zeros(max_pts, np.int32)  # predicted-visible
+        self.n_pt = 0
+
+        # ---- map lines (3D endpoints, reference MapLine) ---------------
+        self.ln_valid = np.zeros(max_lines, bool)
+        self.ln_ep = np.zeros((max_lines, 6), np.float32)
+        self.ln_desc = np.zeros((max_lines, 8), np.uint32)
+        self.ln_first_kf = np.full(max_lines, INVALID, np.int32)
+        self.ln_n_obs = np.zeros(max_lines, np.int32)
+        self.ln_found = np.zeros(max_lines, np.int32)
+        self.ln_visible = np.zeros(max_lines, np.int32)
+        self.n_ln = 0
+
+        # ---- covisibility (shared point observations) ------------------
+        self.covis = np.zeros((max_kf, max_kf), np.int32)
+
+        # map-change counter (reference Map::GetMapChangeIndex)
+        self.change_index = 0
+        # IMU initialization stages (reference Map::isImuInitialized /
+        # GetIniertialBA1/BA2 flags)
+        self.imu_initialized = False
+        self.imu_ba1 = False
+        self.imu_ba2 = False
+
+    # ------------------------------------------------------------------
+    def alloc_kf(self) -> int:
+        free = np.nonzero(~self.kf_valid)[0]
+        if len(free) == 0:
+            raise RuntimeError("keyframe capacity exhausted")
+        i = int(free[0])
+        self.kf_valid[i] = True
+        self.n_kf += 1
+        return i
+
+    def alloc_points(self, n: int) -> np.ndarray:
+        free = np.nonzero(~self.pt_valid)[0][:n]
+        self.pt_valid[free] = True
+        self.n_pt += len(free)
+        return free
+
+    def alloc_lines(self, n: int) -> np.ndarray:
+        free = np.nonzero(~self.ln_valid)[0][:n]
+        self.ln_valid[free] = True
+        self.n_ln += len(free)
+        return free
+
+    # ------------------------------------------------------------------
+    def add_observations(self, kf: int, feat_idx: np.ndarray,
+                         pt_idx: np.ndarray) -> None:
+        """Bind features of keyframe `kf` to map points and update
+        covisibility (reference KeyFrame::AddMapPoint +
+        UpdateConnections, src/KeyFrame.cc:624)."""
+        self.kf_match_pt[kf, feat_idx] = pt_idx
+        self.pt_n_obs[pt_idx] += 1
+        self.update_covisibility(kf)
+        self.change_index += 1
+
+    def update_covisibility(self, kf: int) -> None:
+        """Recompute covisibility row of `kf` from shared point (and line)
+        observations."""
+        pts = self.kf_match_pt[kf]
+        pts = pts[pts >= 0]
+        if len(pts) == 0:
+            return
+        counts = np.zeros(self.max_kf, np.int32)
+        valid_kfs = np.nonzero(self.kf_valid)[0]
+        for other in valid_kfs:
+            if other == kf:
+                continue
+            other_pts = self.kf_match_pt[other]
+            counts[other] = np.isin(pts, other_pts[other_pts >= 0]).sum()
+        lns = self.kf_match_ln[kf]
+        lns = lns[lns >= 0]
+        if len(lns):
+            for other in valid_kfs:
+                if other == kf:
+                    continue
+                o = self.kf_match_ln[other]
+                counts[other] += np.isin(lns, o[o >= 0]).sum()
+        self.covis[kf] = counts
+        self.covis[:, kf] = counts
+
+    def covisible_kfs(self, kf: int, n: int = 10, min_weight: int = 15) -> np.ndarray:
+        """Best covisible keyframes (reference
+        KeyFrame::GetBestCovisibilityKeyFrames)."""
+        w = self.covis[kf].copy()
+        w[~self.kf_valid] = 0
+        w[kf] = 0
+        order = np.argsort(-w)
+        out = order[w[order] >= min_weight][:n]
+        if len(out) == 0:  # fall back to any connection
+            out = order[w[order] > 0][:n]
+        return out
+
+    def local_map_points(self, kfs: np.ndarray, cap: int) -> np.ndarray:
+        """Union of points observed by `kfs`, as a fixed-size index array
+        (INVALID-padded) — the UpdateLocalPoints analog."""
+        ids = np.unique(self.kf_match_pt[kfs])
+        ids = ids[(ids >= 0) & self.pt_valid[np.clip(ids, 0, self.max_pts - 1)]]
+        out = np.full(cap, INVALID, np.int32)
+        out[:min(len(ids), cap)] = ids[:cap]
+        return out
+
+    def local_map_lines(self, kfs: np.ndarray, cap: int) -> np.ndarray:
+        ids = np.unique(self.kf_match_ln[kfs])
+        ids = ids[(ids >= 0) & self.ln_valid[np.clip(ids, 0, self.max_lines - 1)]]
+        out = np.full(cap, INVALID, np.int32)
+        out[:min(len(ids), cap)] = ids[:cap]
+        return out
+
+    # ------------------------------------------------------------------
+    def remove_point(self, ids: np.ndarray) -> None:
+        """SetBadFlag analog: clear validity and back-pointers."""
+        ids = np.atleast_1d(ids)
+        self.pt_valid[ids] = False
+        mask = np.isin(self.kf_match_pt, ids)
+        self.kf_match_pt[mask] = INVALID
+        self.n_pt -= len(ids)
+        self.change_index += 1
+
+    def remove_line(self, ids: np.ndarray) -> None:
+        ids = np.atleast_1d(ids)
+        self.ln_valid[ids] = False
+        mask = np.isin(self.kf_match_ln, ids)
+        self.kf_match_ln[mask] = INVALID
+        self.n_ln -= len(ids)
+        self.change_index += 1
+
+    def remove_keyframe(self, kf: int) -> None:
+        """KeyFrame culling (reference SetBadFlag + spanning-tree rewire;
+        our temporal chain rewires prev<->next)."""
+        pts = self.kf_match_pt[kf]
+        good = pts >= 0
+        self.pt_n_obs[pts[good]] -= 1
+        self.kf_match_pt[kf] = INVALID
+        self.kf_match_ln[kf] = INVALID
+        self.kf_valid[kf] = False
+        self.kf_feat_valid[kf] = False
+        self.covis[kf] = 0
+        self.covis[:, kf] = 0
+        p, n = self.kf_prev[kf], self.kf_next[kf]
+        if p >= 0:
+            self.kf_next[p] = n
+        if n >= 0:
+            self.kf_prev[n] = p
+        self.n_kf -= 1
+        self.change_index += 1
+
+    def valid_kf_indices(self) -> np.ndarray:
+        return np.nonzero(self.kf_valid)[0]
+
+    def kf_centers(self) -> np.ndarray:
+        """Camera centers of all KFs: C = -R^T t."""
+        R = self.kf_pose_cw[:, :, :3]
+        t = self.kf_pose_cw[:, :, 3]
+        return -np.einsum("kji,kj->ki", R, t)
+
+
+@dataclass
+class Atlas:
+    """Multi-map container (reference include/Atlas.h:83-146): the active
+    map receives new data; on tracking loss a fresh map is started and
+    merged back later by loop closing."""
+    maps: List[MapStore] = field(default_factory=list)
+    active: int = 0
+
+    def __post_init__(self):
+        if not self.maps:
+            self.maps = [MapStore(map_id=0)]
+
+    @property
+    def current(self) -> MapStore:
+        return self.maps[self.active]
+
+    def create_new_map(self, **kw) -> MapStore:
+        m = MapStore(map_id=len(self.maps), **kw)
+        self.maps.append(m)
+        self.active = len(self.maps) - 1
+        return m

@@ -1,0 +1,132 @@
+"""Public SLAM system API.
+
+Re-design of `System` (reference: src/System.cc:42-252): constructs the
+Atlas, tracker, local mapper (and, as they land, loop closer +
+relocalization), wires them together, and exposes the per-frame entry
+points and trajectory savers.
+
+The reference spawns LocalMapping/LoopClosing/Relocalization as
+std::threads consuming mutex-guarded queues (src/System.cc:196-232).
+Here the same pipeline runs either synchronously (deterministic, used in
+tests) or overlapped via a host thread executor — JAX dispatch is already
+async, so the host threads only orchestrate.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SystemConfig, Sensor
+from ..io import trajectory as TIO
+from ..ops import frontend as FE
+from ..ops import cameras as CAM
+from ..utils import lie
+from .local_mapping import LocalMapper
+from .mapstore import Atlas
+from .tracking import Tracker, TrackState
+
+
+class System:
+    """Usage:
+        sys = System(cfg)
+        for img, t in frames:
+            pose = sys.track_monocular(img, t)
+        sys.save_trajectory("CameraTrajectory.txt")
+    """
+
+    def __init__(self, cfg: SystemConfig, async_mapping: bool = False):
+        self.cfg = cfg
+        cam = cfg.camera
+        self.camera = CAM.make_camera(cam)
+        self.extract, self.level_specs = FE.make_extractor(
+            cam.height, cam.width, cfg.orb.n_features,
+            cfg.orb.n_levels, cfg.orb.scale_factor,
+            cfg.orb.ini_th_fast, cfg.orb.min_th_fast)
+        # total feature capacity = sum of per-level keeps
+        self.n_feat = sum(s.n_keep for s in self.level_specs)
+
+        self.atlas = Atlas([ ])
+        self.atlas.maps[0].n_feat = self.n_feat
+        # rebuild map store with the right feature capacity
+        from .mapstore import MapStore
+        self.atlas.maps[0] = MapStore(
+            max_kf=cfg.map.max_keyframes, max_pts=cfg.map.max_points,
+            max_lines=cfg.map.max_lines, n_feat=self.n_feat)
+
+        self.tracker = Tracker(cfg, self.atlas, self.n_feat)
+        self.mapper = LocalMapper(cfg, self.atlas, self.n_feat)
+
+        self.async_mapping = async_mapping
+        self._kf_queue: "queue.Queue[int]" = queue.Queue()
+        self._stop = threading.Event()
+        self._mapper_thread: Optional[threading.Thread] = None
+        if async_mapping:
+            self._mapper_thread = threading.Thread(
+                target=self._mapping_loop, daemon=True)
+            self._mapper_thread.start()
+
+    # ------------------------------------------------------------------
+    def track_monocular(self, img: np.ndarray, timestamp: float,
+                        imu: Optional[Sequence] = None) -> Optional[np.ndarray]:
+        """Per-frame entry (reference System::TrackMonocular,
+        src/System.cc:560).  img: [H,W] grayscale float32/uint8."""
+        feats = self.extract(jnp.asarray(img, jnp.float32))
+        # undistort keypoint coordinates once per frame
+        und = CAM.undistort_pixels(self.camera, feats.uv)
+        feats = feats._replace(uv_und=und)
+        pose = self.tracker.process_frame(feats, timestamp)
+        self._drain_keyframes()
+        return pose
+
+    def _drain_keyframes(self):
+        while self.tracker.new_kf_queue:
+            kf = self.tracker.new_kf_queue.pop(0)
+            if self.async_mapping:
+                self._kf_queue.put(kf)
+            else:
+                self.mapper.process_keyframe(kf)
+
+    def _mapping_loop(self):
+        while not self._stop.is_set():
+            try:
+                kf = self._kf_queue.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            self.mapper.process_keyframe(kf)
+
+    # ------------------------------------------------------------------
+    def shutdown(self):
+        """reference System::Shutdown src/System.cc:660."""
+        self._stop.set()
+        if self._mapper_thread:
+            self._mapper_thread.join(timeout=5.0)
+
+    @property
+    def state(self) -> TrackState:
+        return self.tracker.state
+
+    def trajectory(self) -> TIO.Trajectory:
+        ts, pos, quat = self.tracker.full_trajectory()
+        return TIO.Trajectory(ts, pos, quat)
+
+    def save_trajectory(self, path: str) -> None:
+        """TUM-format full-frame trajectory (reference
+        System::SaveTrajectoryEuRoC src/System.cc:785)."""
+        TIO.write_tum(path, self.trajectory())
+
+    def save_keyframe_trajectory(self, path: str) -> None:
+        """reference System::SaveKeyFrameTrajectoryEuRoC src/System.cc:907."""
+        m = self.atlas.current
+        kfs = m.valid_kf_indices()
+        order = np.argsort(m.kf_timestamp[kfs])
+        kfs = kfs[order]
+        R_cw = m.kf_pose_cw[kfs, :, :3]
+        t_cw = m.kf_pose_cw[kfs, :, 3]
+        R_wc = R_cw.transpose(0, 2, 1)
+        p = -np.einsum("kij,kj->ki", R_wc, t_cw)
+        q = np.asarray(lie.rot_to_quat(jnp.asarray(R_wc, jnp.float32)))
+        TIO.write_tum(path, TIO.Trajectory(m.kf_timestamp[kfs], p, q))

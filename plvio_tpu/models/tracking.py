@@ -1,0 +1,352 @@
+"""Tracking front-end driver (host state machine).
+
+Re-design of `Tracking` (reference: src/Tracking.cc, 6640 LoC): the same
+state machine — NOT_INITIALIZED -> monocular two-view bootstrap; OK ->
+motion-model prediction, projection matching, pose-only IRLS, local-map
+tracking, keyframe decision; RECENTLY_LOST/LOST handling — but all
+per-feature work happens in the jitted kernels of models/kernels.py; this
+module is pure orchestration over numpy/jnp arrays.
+
+Key call-graph parity (reference file:line):
+  process_frame           <- Tracking::TrackWithLines  src/Tracking.cc:2186
+  _initialize_mono        <- MonocularInitializationWithLines :3064 +
+                             CreateInitialMapMonocular :3167
+  _track_with_model       <- TrackWithMotionModelWithLines :3926
+  _track_local_map        <- TrackLocalMapWithLines :4261
+  _need_keyframe          <- NeedNewKeyFrameWithLines :4552
+  _create_keyframe        <- CreateNewKeyFrameWithLines :4850
+"""
+from __future__ import annotations
+
+import dataclasses
+from enum import IntEnum
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..ops import matching as M
+from ..ops.frontend import Features
+from ..ops import twoview as TV
+from ..solver.residuals import PinholeK
+from ..utils import lie
+from . import kernels as KN
+from .mapstore import Atlas, MapStore, INVALID
+
+
+class TrackState(IntEnum):
+    """reference: include/Tracking.h:140-148 eTrackingState."""
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    RECENTLY_LOST = 3
+    LOST = 4
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    """Per-frame trajectory bookkeeping (reference stores relative pose to
+    the reference KF, src/Tracking.cc:2705-2725, so that later KF
+    optimization corrects the full-frame trajectory)."""
+    timestamp: float
+    ref_kf: int
+    T_cr: np.ndarray  # [3,4] frame-from-refKF
+
+
+class Tracker:
+    def __init__(self, cfg: SystemConfig, atlas: Atlas, n_feat: int,
+                 local_pts_cap: int = 2048):
+        self.cfg = cfg
+        self.atlas = atlas
+        self.n_feat = n_feat
+        self.local_cap = local_pts_cap
+        cam = cfg.camera
+        self.K = PinholeK(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+
+        self.pose_opt = KN.make_pose_optimizer(self.K, local_pts_cap)
+        self.proj_match = KN.make_projection_matcher(self.K, n_feat, local_pts_cap)
+
+        self.state = TrackState.NO_IMAGES_YET
+        self.last_feats: Optional[Features] = None
+        self.last_pose_cw: Optional[np.ndarray] = None       # [3,4]
+        self.last_feat_pt: Optional[np.ndarray] = None       # [F] map-pt per feat
+        self.velocity: Optional[np.ndarray] = None           # [3,4] T_cl (cur-from-last)
+        self.ref_kf: int = INVALID
+        self.init_feats: Optional[Features] = None
+        self.init_timestamp: float = 0.0
+        self.last_kf_frame_idx = 0
+        self.frame_idx = 0
+        self.frames: List[FrameRecord] = []
+        self.new_kf_queue: List[int] = []
+        self.lost_count = 0
+        self._key = jax.random.PRNGKey(cfg.seed)
+
+    # ------------------------------------------------------------------
+    @property
+    def map(self) -> MapStore:
+        return self.atlas.current
+
+    def process_frame(self, feats: Features, timestamp: float
+                      ) -> Optional[np.ndarray]:
+        """Returns T_cw [3,4] or None while not tracking."""
+        self.frame_idx += 1
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            self._initialize_mono(feats, timestamp)
+            if self.state == TrackState.OK:
+                return self.last_pose_cw
+            return None
+
+        ok = self._track_frame(feats, timestamp)
+        if ok:
+            self.lost_count = 0
+            self.state = TrackState.OK
+            if self._need_keyframe():
+                self._create_keyframe(feats, timestamp)
+            self.frames.append(self._make_record(timestamp))
+            return self.last_pose_cw
+        else:
+            self.lost_count += 1
+            if self.lost_count > int(self.cfg.tracking.recently_lost_s
+                                     * self.cfg.camera.fps):
+                self.state = TrackState.LOST
+            else:
+                self.state = TrackState.RECENTLY_LOST
+            return None
+
+    # ------------------------------------------------------------------
+    def _make_record(self, timestamp: float) -> FrameRecord:
+        m = self.map
+        T_rw = m.kf_pose_cw[self.ref_kf]
+        R_rw, t_rw = T_rw[:, :3], T_rw[:, 3]
+        R_cw, t_cw = self.last_pose_cw[:, :3], self.last_pose_cw[:, 3]
+        # T_cr = T_cw * T_rw^{-1}
+        R_cr = R_cw @ R_rw.T
+        t_cr = t_cw - R_cr @ t_rw
+        return FrameRecord(timestamp, self.ref_kf,
+                           np.concatenate([R_cr, t_cr[:, None]], 1))
+
+    # ------------------------------------------------------------------
+    # Monocular initialization
+    # ------------------------------------------------------------------
+    def _initialize_mono(self, feats: Features, timestamp: float) -> None:
+        if self.init_feats is None or (timestamp - self.init_timestamp) > 1.0:
+            n_valid = int(np.asarray(feats.valid).sum())
+            if n_valid > 100:
+                self.init_feats = feats
+                self.init_timestamp = timestamp
+                self.state = TrackState.NOT_INITIALIZED
+            return
+
+        f0, f1 = self.init_feats, feats
+        dist = M.hamming_matrix(f0.desc, f1.desc)
+        gate = M.window_gate(f0.uv_und, f1.uv_und, 100.0)
+        idx, ok = M.match_nn_ratio(dist, f0.valid, f1.valid, gate,
+                                   max_dist=60.0, ratio=0.9)
+        n_matches = int(ok.sum())
+        if n_matches < 80:
+            self.init_feats = feats  # slide the window forward
+            self.init_timestamp = timestamp
+            return
+
+        uv0 = f0.uv_und
+        uv1 = f1.uv_und[idx]
+        self._key, sub = jax.random.split(self._key)
+        res = TV.reconstruct_two_views(self.K, uv0, uv1, ok, sub)
+        if not bool(res.success) or int(res.is_triangulated.sum()) < 60:
+            return
+
+        self._create_initial_map(f0, f1, idx, res, timestamp)
+
+    def _create_initial_map(self, f0: Features, f1: Features,
+                            idx: jnp.ndarray, res: TV.TwoViewResult,
+                            timestamp: float) -> None:
+        """reference: CreateInitialMapMonocular src/Tracking.cc:3167 —
+        two KFs, scale by inverse median depth, init BA."""
+        m = self.map
+        tri = np.asarray(res.is_triangulated)
+        X = np.asarray(res.points3d)[tri]          # camera-1 frame == world
+        depth = X[:, 2]
+        med = np.median(depth)
+        X = X / med                                 # normalize scale
+        t10 = np.asarray(res.t) / med
+
+        kf0 = m.alloc_kf()
+        kf1 = m.alloc_kf()
+        m.kf_timestamp[kf0] = self.init_timestamp
+        m.kf_timestamp[kf1] = timestamp
+        m.kf_pose_cw[kf0] = np.eye(3, 4, dtype=np.float32)
+        m.kf_pose_cw[kf1] = np.concatenate(
+            [np.asarray(res.R), t10[:, None]], 1).astype(np.float32)
+        m.kf_prev[kf1] = kf0
+        m.kf_next[kf0] = kf1
+        for kf, f in ((kf0, f0), (kf1, f1)):
+            self._store_kf_features(kf, f)
+
+        pts = m.alloc_points(tri.sum())
+        m.pt_xyz[pts] = X.astype(np.float32)
+        feat0_ids = np.nonzero(tri)[0]
+        feat1_ids = np.asarray(idx)[tri]
+        packed0 = np.asarray(M.pack_bits_u32(f0.desc))
+        m.pt_desc[pts] = packed0[feat0_ids]
+        m.pt_first_kf[pts] = kf0
+        m.kf_match_pt[kf0, feat0_ids] = pts
+        m.kf_match_pt[kf1, feat1_ids] = pts
+        m.pt_n_obs[pts] = 2
+        m.pt_found[pts] = 2
+        m.pt_visible[pts] = 2
+        m.update_covisibility(kf1)
+
+        self.ref_kf = kf1
+        self.last_feats = f1
+        self.last_pose_cw = np.asarray(m.kf_pose_cw[kf1])
+        feat_pt = np.full(self.n_feat, INVALID, np.int32)
+        feat_pt[feat1_ids] = pts
+        self.last_feat_pt = feat_pt
+        self.velocity = None
+        self.state = TrackState.OK
+        self.last_kf_frame_idx = self.frame_idx
+        self.new_kf_queue += [kf0, kf1]
+        self.frames.append(self._make_record(timestamp))
+
+    def _store_kf_features(self, kf: int, f: Features) -> None:
+        m = self.map
+        n = min(self.n_feat, f.uv.shape[0])
+        m.kf_feat_uv[kf, :n] = np.asarray(f.uv_und)[:n]
+        m.kf_feat_octave[kf, :n] = np.asarray(f.octave)[:n]
+        m.kf_feat_angle[kf, :n] = np.asarray(f.angle)[:n]
+        m.kf_feat_desc[kf, :n] = np.asarray(M.pack_bits_u32(f.desc))[:n]
+        m.kf_feat_valid[kf, :n] = np.asarray(f.valid)[:n]
+
+    # ------------------------------------------------------------------
+    # Frame tracking
+    # ------------------------------------------------------------------
+    def _predict_pose(self) -> np.ndarray:
+        if self.velocity is None:
+            return self.last_pose_cw
+        R_v, t_v = self.velocity[:, :3], self.velocity[:, 3]
+        R_l, t_l = self.last_pose_cw[:, :3], self.last_pose_cw[:, 3]
+        R = R_v @ R_l
+        t = R_v @ t_l + t_v
+        return np.concatenate([R, t[:, None]], 1)
+
+    def _gather_local_points(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Local map = points of ref KF's covisibility neighborhood
+        (reference UpdateLocalPointsAndLines, src/Tracking.cc:5354)."""
+        m = self.map
+        kfs = m.covisible_kfs(self.ref_kf, n=10, min_weight=5)
+        kfs = np.concatenate([[self.ref_kf], kfs])
+        ids = m.local_map_points(kfs, self.local_cap)
+        live = ids >= 0
+        safe = np.clip(ids, 0, m.max_pts - 1)
+        xyz = m.pt_xyz[safe]
+        desc = m.pt_desc[safe]
+        return ids, live & m.pt_valid[safe], (xyz, desc)
+
+    def _track_frame(self, feats: Features, timestamp: float) -> bool:
+        pose_pred = self._predict_pose()
+        ids, live, (xyz, desc) = self._gather_local_points()
+        m = self.map
+
+        radius = 15.0 if self.velocity is not None else 40.0
+        uv_m, pt_feat, matched, feat_pt = self.proj_match(
+            jnp.asarray(pose_pred), jnp.asarray(xyz), jnp.asarray(desc),
+            jnp.asarray(live), feats.uv_und,
+            M.pack_bits_u32(feats.desc), feats.octave, feats.valid,
+            jnp.float32(radius))
+        n_matched = int(matched.sum())
+        if n_matched < self.cfg.tracking.min_matches_track:
+            # widen the search once (reference doubles the window)
+            uv_m, pt_feat, matched, feat_pt = self.proj_match(
+                jnp.asarray(pose_pred), jnp.asarray(xyz), jnp.asarray(desc),
+                jnp.asarray(live), feats.uv_und,
+                M.pack_bits_u32(feats.desc), feats.octave, feats.valid,
+                jnp.float32(radius * 3))
+            n_matched = int(matched.sum())
+            if n_matched < self.cfg.tracking.min_matches_track:
+                return False
+
+        inv_sigma2 = 1.0 / (1.2 ** (2.0 * np.asarray(
+            feats.octave, np.float32)))
+        is2 = jnp.asarray(inv_sigma2)[pt_feat]
+        pose, inlier, n_inl = self.pose_opt(
+            jnp.asarray(pose_pred), uv_m, jnp.asarray(xyz), matched, is2)
+        n_inliers = int(n_inl)
+        if n_inliers < self.cfg.tracking.min_inliers_track:
+            return False
+
+        # bookkeeping
+        pose = np.asarray(pose)
+        inlier_np = np.asarray(inlier)
+        pt_feat_np = np.asarray(pt_feat)
+        feat_pt_np = np.full(self.n_feat, INVALID, np.int32)
+        good_slots = np.nonzero(inlier_np)[0]
+        feat_pt_np[pt_feat_np[good_slots]] = ids[good_slots]
+        # found/visible statistics for culling
+        vis_slots = ids[np.asarray(matched)]
+        m.pt_visible[ids[live]] += 1
+        m.pt_found[ids[good_slots]] += 1
+
+        # velocity (T_cl = T_cw * T_lw^{-1})
+        R_c, t_c = pose[:, :3], pose[:, 3]
+        R_l, t_l = self.last_pose_cw[:, :3], self.last_pose_cw[:, 3]
+        R_cl = R_c @ R_l.T
+        t_cl = t_c - R_cl @ t_l
+        self.velocity = np.concatenate([R_cl, t_cl[:, None]], 1)
+        self.last_pose_cw = pose
+        self.last_feats = feats
+        self.last_feat_pt = feat_pt_np
+        self.last_n_inliers = n_inliers
+        # track reference KF: covisible KF sharing most points
+        return True
+
+    # ------------------------------------------------------------------
+    def _need_keyframe(self) -> bool:
+        """Simplified NeedNewKeyFrame (reference src/Tracking.cc:4552):
+        insert when tracked inliers fall below a fraction of the reference
+        KF's matches or the frame gap is large."""
+        m = self.map
+        ref_matches = int((m.kf_match_pt[self.ref_kf] >= 0).sum())
+        gap = self.frame_idx - self.last_kf_frame_idx
+        if gap >= self.cfg.tracking.kf_max_interval:
+            return True
+        weak = self.last_n_inliers < 0.6 * max(ref_matches, 1)
+        return weak and gap >= 1 and self.last_n_inliers > 15
+
+    def _create_keyframe(self, feats: Features, timestamp: float) -> None:
+        m = self.map
+        kf = m.alloc_kf()
+        m.kf_timestamp[kf] = timestamp
+        m.kf_pose_cw[kf] = self.last_pose_cw.astype(np.float32)
+        self._store_kf_features(kf, feats)
+        prev = self.ref_kf
+        m.kf_prev[kf] = prev
+        m.kf_next[prev] = kf
+        matched = self.last_feat_pt >= 0
+        m.kf_match_pt[kf] = np.where(matched, self.last_feat_pt, INVALID)
+        m.pt_n_obs[self.last_feat_pt[matched]] += 1
+        m.update_covisibility(kf)
+        self.ref_kf = kf
+        self.last_kf_frame_idx = self.frame_idx
+        self.new_kf_queue.append(kf)
+        m.change_index += 1
+
+    # ------------------------------------------------------------------
+    def full_trajectory(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(timestamps, positions, quaternions) of every tracked frame,
+        re-expressed through the *current* (optimized) KF poses
+        (reference: System::SaveTrajectoryEuRoC src/System.cc:785)."""
+        m = self.map
+        ts, pos, quat = [], [], []
+        for rec in self.frames:
+            T_rw = m.kf_pose_cw[rec.ref_kf]
+            R_cw = rec.T_cr[:, :3] @ T_rw[:, :3]
+            t_cw = rec.T_cr[:, :3] @ T_rw[:, 3] + rec.T_cr[:, 3]
+            R_wc = R_cw.T
+            p_wc = -R_wc @ t_cw
+            ts.append(rec.timestamp)
+            pos.append(p_wc)
+            quat.append(np.asarray(lie.rot_to_quat(
+                jnp.asarray(R_wc, jnp.float32))))
+        return np.asarray(ts), np.asarray(pos), np.asarray(quat)

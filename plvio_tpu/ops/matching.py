@@ -29,6 +29,23 @@ def pack_to_pm1(bits: jnp.ndarray) -> jnp.ndarray:
     return (bits.astype(jnp.float32) * 2.0 - 1.0).astype(jnp.bfloat16)
 
 
+def pack_bits_u32(pm1_or_bits: jnp.ndarray) -> jnp.ndarray:
+    """[...,256] descriptor ({-1,+1} or {0,1}) -> [...,8] uint32 packed
+    (32-byte storage, the reference's cv::Mat descriptor rows)."""
+    bits = (pm1_or_bits > 0).astype(jnp.uint32)
+    b = bits.reshape(bits.shape[:-1] + (8, 32))
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(b * weights, axis=-1, dtype=jnp.uint32)
+
+
+def unpack_u32_to_pm1(packed: jnp.ndarray) -> jnp.ndarray:
+    """[...,8] uint32 -> [...,256] bfloat16 {-1,+1}."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (packed[..., None] >> shifts) & jnp.uint32(1)
+    bits = bits.reshape(packed.shape[:-1] + (256,))
+    return (bits.astype(jnp.float32) * 2.0 - 1.0).astype(jnp.bfloat16)
+
+
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """Pairwise Hamming distances via MXU.
 
