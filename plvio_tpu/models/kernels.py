@@ -230,6 +230,171 @@ def make_triangulator(K: PinholeK, cap: int):
     return run
 
 
+def make_vi_pose_optimizer(K: PinholeK, cap: int, Rcb, tcb, gravity: float,
+                           rounds: int = 4, iters: int = 8):
+    """Visual-inertial pose-only optimization of the current frame's
+    (pose_wb, v, bg, ba) against the last keyframe's fixed state
+    (reference PoseInertialOptimizationLastKeyFrame,
+    src/Optimizer.cc:13585): monocular reprojection edges through the
+    body extrinsic + one 9-dim inertial edge + bias random-walk pulls.
+
+    run(pose_wb0 [3,4], v0, bg0, ba0, uv [cap,2], X [cap,3], valid, is2,
+        prev_pose_wb, prev_v, preint_const dict, imu_info [9,9],
+        bias_info [6]) -> (pose_wb, v, bg, ba, inlier, n_inliers)
+    """
+    Rcb = jnp.asarray(Rcb, jnp.float32)
+    tcb = jnp.asarray(tcb, jnp.float32)
+    reproj_fn = RES.make_point_reproj_body(K, Rcb, tcb)
+    inertial_fn = RES.make_inertial(gravity)
+
+    @jax.jit
+    def run(pose_wb0, v0, bg0, ba0, uv, X, valid, is2,
+            prev_pose_wb, prev_v, pre_const, imu_info, bias_info):
+        mask = valid
+        states = {"pose": jnp.stack([prev_pose_wb, pose_wb0]),
+                  "vel": jnp.stack([prev_v, v0]),
+                  "bg": bg0[None], "ba": ba0[None]}
+        free = {"pose": jnp.asarray([False, True]),
+                "vel": jnp.asarray([False, True]),
+                "bg": jnp.asarray([True]), "ba": jnp.asarray([True])}
+        z1 = jnp.zeros(1, jnp.int32)
+        o1 = jnp.ones(1, jnp.int32)
+        for _ in range(rounds):
+            prob = E.Problem()
+            prob.add_dense("pose", 2, 6, RES.retract_pose_wb)
+            prob.add_dense("vel", 2, 3, RES.retract_additive)
+            prob.add_dense("bg", 1, 3, RES.retract_additive)
+            prob.add_dense("ba", 1, 3, RES.retract_additive)
+            prob.add_term(E.Term(
+                name="reproj", res_fn=reproj_fn, rdim=2,
+                dense_refs=[("pose", jnp.ones(cap, jnp.int32))],
+                const={"uv": uv, "X": X}, mask=mask, info=is2,
+                robust_delta=float(np.sqrt(CHI2_MONO))))
+            prob.add_term(E.Term(
+                name="inertial", res_fn=inertial_fn, rdim=9,
+                dense_refs=[("pose", z1), ("vel", z1), ("bg", z1),
+                            ("ba", z1), ("pose", o1), ("vel", o1)],
+                const=jax.tree_util.tree_map(lambda x: x[None], pre_const),
+                mask=jnp.ones(1, bool), info=imu_info[None]))
+            states, _, chi2s = E.optimize(prob, states, iters=iters,
+                                          dense_free_mask=free)
+            mask = valid & (chi2s["reproj"] < CHI2_MONO)
+        return (states["pose"][1], states["vel"][1], states["bg"][0],
+                states["ba"][0], mask, jnp.sum(mask))
+
+    return run
+
+
+def make_inertial_init(gravity: float, n_kf: int, iters: int = 20):
+    """IMU initialization: optimize gravity direction, scale, shared
+    biases and per-KF velocities with poses fixed (reference
+    Optimizer::InertialOptimization, src/Optimizer.cc:9914, called from
+    LocalMapping::InitializeIMU :2143).
+
+    run(Rwg0 [3,3], vel0 [n_kf,3], pre_const (stacked [n_kf-1,...]),
+        pose_R [n_kf,3,3], pose_p [n_kf,3], imu_info [n_kf-1,9,9],
+        edge_valid [n_kf-1])
+    -> (Rwg, scale, bg, ba, vel)
+    """
+    gs_fn = RES.make_inertial_gs(gravity)
+
+    @jax.jit
+    def run(Rwg0, vel0, pre_const, pose_R, pose_p, imu_info, edge_valid):
+        n_e = n_kf - 1
+        idx1 = jnp.arange(n_e, dtype=jnp.int32)
+        z = jnp.zeros(n_e, jnp.int32)
+        const = dict(pre_const)
+        const["R1"] = pose_R[:-1]
+        const["p1"] = pose_p[:-1]
+        const["R2"] = pose_R[1:]
+        const["p2"] = pose_p[1:]
+
+        prob = E.Problem()
+        prob.add_dense("gdir", 1, 2, RES.retract_gdir)
+        prob.add_dense("scale", 1, 1, RES.retract_scale)
+        prob.add_dense("bg", 1, 3, RES.retract_additive)
+        prob.add_dense("ba", 1, 3, RES.retract_additive)
+        prob.add_dense("vel", n_kf, 3, RES.retract_additive)
+        prob.add_term(E.Term(
+            name="gs", res_fn=gs_fn, rdim=9,
+            dense_refs=[("gdir", z), ("scale", z), ("bg", z), ("ba", z),
+                        ("vel", idx1), ("vel", idx1 + 1)],
+            const=const, mask=edge_valid, info=imu_info))
+        states = {"gdir": Rwg0[None], "scale": jnp.ones((1, 1), jnp.float32),
+                  "bg": jnp.zeros((1, 3), jnp.float32),
+                  "ba": jnp.zeros((1, 3), jnp.float32), "vel": vel0}
+        states, _, _ = E.optimize(prob, states, iters=iters)
+        return (states["gdir"][0], states["scale"][0, 0], states["bg"][0],
+                states["ba"][0], states["vel"])
+
+    return run
+
+
+def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
+                           Rcb, tcb, gravity: float,
+                           rounds: int = 2, iters: int = 8):
+    """Sliding-window visual-inertial BA (reference LocalInertialBA,
+    src/Optimizer.cc:9185): per-KF 15-DoF states (pose_wb, vel, bg, ba),
+    inertial + bias-RW edges along the temporal chain, visual edges to
+    Schur-eliminated points, fixed anchor.
+
+    run(kf_pose_wb [W,3,4], kf_vel, kf_bg, kf_ba, kf_free [W],
+        pt_xyz [P,3], pt_free, obs_kf [O], obs_pt [O], obs_uv [O,2],
+        obs_valid, obs_is2, pre_const (stacked [W-1]), imu_info [W-1,9,9],
+        edge_valid [W-1], rw_info_g [W-1], rw_info_a [W-1])
+    -> (pose_wb, vel, bg, ba, pt_xyz, obs_inlier)
+    """
+    Rcb = jnp.asarray(Rcb, jnp.float32)
+    tcb = jnp.asarray(tcb, jnp.float32)
+    reproj_fn = RES.make_point_reproj_body_ba(K, Rcb, tcb)
+    inertial_fn = RES.make_inertial(gravity)
+
+    @jax.jit
+    def run(kf_pose_wb, kf_vel, kf_bg, kf_ba, kf_free, pt_xyz, pt_free,
+            obs_kf, obs_pt, obs_uv, obs_valid, obs_is2,
+            pre_const, imu_info, edge_valid, rw_info_g, rw_info_a):
+        mask = obs_valid
+        states = {"pose": kf_pose_wb, "vel": kf_vel,
+                  "bg": kf_bg, "ba": kf_ba, "pt": pt_xyz}
+        free = {"pose": kf_free, "vel": kf_free, "bg": kf_free,
+                "ba": kf_free}
+        idx1 = jnp.arange(n_kf - 1, dtype=jnp.int32)
+        idx2 = idx1 + 1
+        for _ in range(rounds):
+            prob = E.Problem()
+            prob.add_dense("pose", n_kf, 6, RES.retract_pose_wb)
+            prob.add_dense("vel", n_kf, 3, RES.retract_additive)
+            prob.add_dense("bg", n_kf, 3, RES.retract_additive)
+            prob.add_dense("ba", n_kf, 3, RES.retract_additive)
+            prob.add_landmarks("pt", n_pt, 3, RES.retract_additive)
+            prob.add_term(E.Term(
+                name="reproj", res_fn=reproj_fn, rdim=2,
+                dense_refs=[("pose", obs_kf)], lm_ref=("pt", obs_pt),
+                const={"uv": obs_uv}, mask=mask, info=obs_is2,
+                robust_delta=float(np.sqrt(CHI2_MONO))))
+            prob.add_term(E.Term(
+                name="inertial", res_fn=inertial_fn, rdim=9,
+                dense_refs=[("pose", idx1), ("vel", idx1), ("bg", idx1),
+                            ("ba", idx1), ("pose", idx2), ("vel", idx2)],
+                const=pre_const, mask=edge_valid, info=imu_info))
+            prob.add_term(E.Term(
+                name="bg_rw", res_fn=RES.bias_rw, rdim=3,
+                dense_refs=[("bg", idx1), ("bg", idx2)],
+                const=None, mask=edge_valid, info=rw_info_g))
+            prob.add_term(E.Term(
+                name="ba_rw", res_fn=RES.bias_rw, rdim=3,
+                dense_refs=[("ba", idx1), ("ba", idx2)],
+                const=None, mask=edge_valid, info=rw_info_a))
+            states, _, chi2s = E.optimize(
+                prob, states, iters=iters, dense_free_mask=free,
+                lm_free_mask={"pt": pt_free})
+            mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)
+        return (states["pose"], states["vel"], states["bg"], states["ba"],
+                states["pt"], mask)
+
+    return run
+
+
 def make_local_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                   rounds: int = 2, iters: int = 8):
     """Windowed local BA (reference LocalBundleAdjustment,

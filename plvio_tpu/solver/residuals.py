@@ -203,6 +203,37 @@ def make_line_angle_fixed(K: PinholeK):
     return res
 
 
+def make_point_reproj_body(K: PinholeK, Rcb: jnp.ndarray, tcb: jnp.ndarray):
+    """Pose-only reprojection with the state on the BODY (IMU) frame and a
+    fixed camera-from-body extrinsic (reference EdgeMonoOnlyPose with
+    ImuCamPose, include/G2oTypes.h:532: visual edges during VI tracking
+    optimize T_wb, projecting through Tcb).
+
+    blocks = (pose_wb,), const = {'uv': [2], 'X': [3] world point}.
+    """
+    def res(blocks, deltas, const):
+        (P,) = blocks
+        (d,) = deltas
+        R_wb, p_wb = retract_pose_wb_single(P, d)
+        Xb = R_wb.T @ (const["X"] - p_wb)
+        pc = Rcb @ Xb + tcb
+        return _project(K, pc) - const["uv"]
+    return res
+
+
+def make_point_reproj_body_ba(K: PinholeK, Rcb: jnp.ndarray, tcb: jnp.ndarray):
+    """BA version: (pose_wb, point) both free (reference EdgeMono,
+    include/G2oTypes.h:484)."""
+    def res(blocks, deltas, const):
+        P, X = blocks
+        d, dX = deltas
+        R_wb, p_wb = retract_pose_wb_single(P, d)
+        Xb = R_wb.T @ (X + dX - p_wb)
+        pc = Rcb @ Xb + tcb
+        return _project(K, pc) - const["uv"]
+    return res
+
+
 # --------------------------------------------------------------------------
 # Inertial residuals (reference EdgeInertial, include/G2oTypes.h:637:
 # 9-dim preintegration residual across (pose1, v1, bg, ba, pose2, v2))

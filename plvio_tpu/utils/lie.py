@@ -65,17 +65,24 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
 def so3_log(R: jnp.ndarray) -> jnp.ndarray:
     """[...,3,3] -> [...,3].  (ref ImuTypes.cc:75 LogSO3)
 
-    Stable away from theta == pi (the SLAM pipeline only logs small
-    incremental rotations; near-pi inputs are resolved via the axis from
-    the symmetric part).
+    DIFFERENTIABLE AT THE IDENTITY: implemented via atan2(|w|, cos)
+    with double-where guards so jacfwd/jacrev give the exact Jacobian
+    (J -> I as theta -> 0).  A naive arccos(trace) formulation has a
+    singular derivative at theta=0, which silently poisons every
+    residual that logs a near-identity rotation (all inertial edges).
+    Values are also correct near theta == pi via the symmetric-part
+    branch (gradients there are not needed by the pipeline).
     """
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5  # = sin(theta) * axis
-    sin_t = jnp.sin(theta)
-    small = theta < _EPS
-    scale = jnp.where(small, 1.0 + theta**2 / 6.0, theta / jnp.maximum(sin_t, 1e-12))
+    w2 = jnp.sum(w * w, axis=-1)                # = sin(theta)^2
+    small = w2 < 1e-12
+    w2_safe = jnp.where(small, 1.0, w2)         # keeps sqrt grad finite
+    sin_t = jnp.sqrt(w2_safe)
+    theta = jnp.arctan2(sin_t, cos_t)
+    # smooth small-angle surrogate: theta^2/6 ~= (1 - cos)/3 (no sqrt)
+    scale = jnp.where(small, 1.0 + (1.0 - cos_t) / 3.0, theta / sin_t)
     generic = w * scale[..., None]
     # Near pi: axis from diagonal of (R + I)/2 = aa^T(1-cos)+..., use largest diag.
     near_pi = theta > (jnp.pi - 1e-3)
