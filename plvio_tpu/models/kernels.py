@@ -52,29 +52,84 @@ class TrackResult(NamedTuple):
 
 
 def make_pose_optimizer(K: PinholeK, cap: int, rounds: int = 4,
-                        iters: int = 10):
-    """Pose-only IRLS: (pose0, uv [cap,2], X [cap,3], valid, inv_sigma2)
-    -> (pose, inlier_mask, n_inliers)."""
+                        iters: int = 3):
+    """Pose-only IRLS with closed-form Jacobians, fully fused.
 
+    This is THE per-frame hot call (reference PoseOptimization,
+    src/Optimizer.cc:2399, 4 rounds of g2o LM with chi2 re-gating), so it
+    is hand-rolled instead of going through the generic engine: one
+    fori_loop of GN steps — residual, analytic [2,6] Jacobian, 6x6
+    normal equations, Cholesky, retract — with Huber IRLS weights every
+    iteration and chi2 outlier re-gating between rounds.  ~15 XLA ops per
+    iteration vs hundreds for the generic engine (37 ms -> ~1 ms on TPU).
+
+    (pose0 [3,4], uv [cap,2], X [cap,3], valid, inv_sigma2)
+    -> (pose, inlier_mask, n_inliers)
+    """
     @jax.jit
     def run(pose0, uv, X, valid, inv_sigma2):
-        mask = valid
-        states = {"pose": pose0[None]}
-        chi2 = jnp.zeros(cap, jnp.float32)
-        for _ in range(rounds):
-            prob = E.Problem()
-            prob.add_dense("pose", 1, 6, RES.retract_pose_cw)
-            prob.add_term(E.Term(
-                name="reproj", res_fn=RES.make_point_reproj_fixed(K), rdim=2,
-                dense_refs=[("pose", jnp.zeros(cap, jnp.int32))],
-                const={"uv": uv, "X": X}, mask=mask, info=inv_sigma2,
-                robust_delta=float(np.sqrt(CHI2_MONO))))
-            states, _, chi2s = E.optimize(prob, states, iters=iters)
-            chi2 = chi2s["reproj"]
-            mask = valid & (chi2 < CHI2_MONO)
-        return states["pose"][0], mask, jnp.sum(mask)
+        return fast_pose_opt(K, pose0, uv, X, valid, inv_sigma2,
+                             rounds, iters)
 
     return run
+
+
+def fast_pose_opt(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
+                  rounds: int = 4, iters: int = 3):
+    """Traceable core of the fused pose-only IRLS (see make_pose_optimizer).
+    Returns (pose [3,4], inlier [N], n_inliers)."""
+    delta = float(np.sqrt(CHI2_MONO))
+    total_iters = rounds * iters
+
+    def compute_chi2(Rt):
+        R, t = Rt[:, :3], Rt[:, 3]
+        pc = X @ R.T + t
+        z = jnp.maximum(pc[:, 2], 1e-4)
+        pred = jnp.stack([K.fx * pc[:, 0] / z + K.cx,
+                          K.fy * pc[:, 1] / z + K.cy], -1)
+        r = pred - uv
+        chi2 = jnp.sum(r * r, -1) * inv_sigma2
+        return r, pc, chi2
+
+    def body(i, carry):
+        Rt, gate = carry
+        r, pc, chi2 = compute_chi2(Rt)
+        # re-gate at round boundaries (fixed schedule, branchless)
+        round_start = (i % iters) == 0
+        new_gate = jnp.where(round_start & (i > 0),
+                             valid & (chi2 < CHI2_MONO), gate)
+        w_h = jnp.minimum(1.0, delta / jnp.sqrt(jnp.maximum(chi2, 1e-12)))
+        w = (new_gate & (pc[:, 2] > 0.05)).astype(jnp.float32) \
+            * w_h * inv_sigma2
+        z = jnp.maximum(pc[:, 2], 1e-4)
+        inv_z = 1.0 / z
+        x_, y_ = pc[:, 0], pc[:, 1]
+        zero = jnp.zeros_like(z)
+        ju = jnp.stack([K.fx * inv_z, zero, -K.fx * x_ * inv_z ** 2], -1)
+        jv = jnp.stack([zero, K.fy * inv_z, -K.fy * y_ * inv_z ** 2], -1)
+        Jp = jnp.stack([ju, jv], 1)                  # [N,2,3]
+        # left-mult se3: dpc = drho - hat(pc) dphi
+        hx = jnp.stack([
+            jnp.stack([zero, -pc[:, 2], pc[:, 1]], -1),
+            jnp.stack([pc[:, 2], zero, -pc[:, 0]], -1),
+            jnp.stack([-pc[:, 1], pc[:, 0], zero], -1)], 1)  # [N,3,3]
+        Jphi = -jnp.einsum("nij,njk->nik", Jp, hx)
+        J = jnp.concatenate([Jp, Jphi], -1)          # [N,2,6]
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("ndi,ndj->ij", Jw, J)
+        g = jnp.einsum("ndi,nd->i", Jw, r)
+        H = H + jnp.diag(jnp.diagonal(H)) * 1e-3 + jnp.eye(6) * 1e-6
+        dx = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(H, lower=True), g)
+        Rn, tn = lie.se3_exp(dx)
+        R_new = lie.so3_normalize(Rn @ Rt[:, :3])
+        t_new = Rn @ Rt[:, 3] + tn
+        return jnp.concatenate([R_new, t_new[:, None]], 1), new_gate
+
+    Rt, gate = jax.lax.fori_loop(0, total_iters, body, (pose0, valid))
+    _, _, chi2 = compute_chi2(Rt)
+    inlier = valid & (chi2 < CHI2_MONO)
+    return Rt, inlier, jnp.sum(inlier)
 
 
 def make_pose_optimizer_pl(K: PinholeK, cap_pt: int, cap_ln: int,
@@ -249,22 +304,28 @@ def make_vi_pose_optimizer(K: PinholeK, cap: int, Rcb, tcb, gravity: float,
 
     @jax.jit
     def run(pose_wb0, v0, bg0, ba0, uv, X, valid, is2,
-            prev_pose_wb, prev_v, pre_const, imu_info, bias_info):
+            prev_pose_wb, prev_v, pre_const, imu_info, bias_rw_info):
+        """bias_rw_info: [6] information (1/cov) anchoring (bg, ba) to the
+        previous state's biases via random-walk edges (reference
+        EdgeGyroRW/EdgeAccRW in PoseInertialOptimization*,
+        src/Optimizer.cc:13585 — without this the per-frame biases are
+        observable only through one inertial edge and drift freely)."""
         mask = valid
         states = {"pose": jnp.stack([prev_pose_wb, pose_wb0]),
                   "vel": jnp.stack([prev_v, v0]),
-                  "bg": bg0[None], "ba": ba0[None]}
+                  "bg": jnp.stack([bg0, bg0]), "ba": jnp.stack([ba0, ba0])}
         free = {"pose": jnp.asarray([False, True]),
                 "vel": jnp.asarray([False, True]),
-                "bg": jnp.asarray([True]), "ba": jnp.asarray([True])}
+                "bg": jnp.asarray([False, True]),
+                "ba": jnp.asarray([False, True])}
         z1 = jnp.zeros(1, jnp.int32)
         o1 = jnp.ones(1, jnp.int32)
         for _ in range(rounds):
             prob = E.Problem()
             prob.add_dense("pose", 2, 6, RES.retract_pose_wb)
             prob.add_dense("vel", 2, 3, RES.retract_additive)
-            prob.add_dense("bg", 1, 3, RES.retract_additive)
-            prob.add_dense("ba", 1, 3, RES.retract_additive)
+            prob.add_dense("bg", 2, 3, RES.retract_additive)
+            prob.add_dense("ba", 2, 3, RES.retract_additive)
             prob.add_term(E.Term(
                 name="reproj", res_fn=reproj_fn, rdim=2,
                 dense_refs=[("pose", jnp.ones(cap, jnp.int32))],
@@ -272,15 +333,68 @@ def make_vi_pose_optimizer(K: PinholeK, cap: int, Rcb, tcb, gravity: float,
                 robust_delta=float(np.sqrt(CHI2_MONO))))
             prob.add_term(E.Term(
                 name="inertial", res_fn=inertial_fn, rdim=9,
-                dense_refs=[("pose", z1), ("vel", z1), ("bg", z1),
-                            ("ba", z1), ("pose", o1), ("vel", o1)],
+                dense_refs=[("pose", z1), ("vel", z1), ("bg", o1),
+                            ("ba", o1), ("pose", o1), ("vel", o1)],
                 const=jax.tree_util.tree_map(lambda x: x[None], pre_const),
                 mask=jnp.ones(1, bool), info=imu_info[None]))
+            prob.add_term(E.Term(
+                name="bg_rw", res_fn=RES.bias_rw, rdim=3,
+                dense_refs=[("bg", z1), ("bg", o1)], const=None,
+                mask=jnp.ones(1, bool), info=bias_rw_info[None, :3]))
+            prob.add_term(E.Term(
+                name="ba_rw", res_fn=RES.bias_rw, rdim=3,
+                dense_refs=[("ba", z1), ("ba", o1)], const=None,
+                mask=jnp.ones(1, bool), info=bias_rw_info[None, 3:]))
             states, _, chi2s = E.optimize(prob, states, iters=iters,
                                           dense_free_mask=free)
             mask = valid & (chi2s["reproj"] < CHI2_MONO)
-        return (states["pose"][1], states["vel"][1], states["bg"][0],
-                states["ba"][0], mask, jnp.sum(mask))
+        return (states["pose"][1], states["vel"][1], states["bg"][1],
+                states["ba"][1], mask, jnp.sum(mask))
+
+    return run
+
+
+def make_scale_refine(gravity: float, n_kf: int, iters: int = 12):
+    """Periodic scale/gravity refinement: same inertial-GS edges but ONLY
+    (Rwg, s) free — biases and velocities fixed (reference
+    Optimizer::InertialOptimization scale+gravity overload called from
+    LocalMapping::ScaleRefinement, src/LocalMapping.cc:2534).
+
+    run(Rwg0, vel [n_kf,3], bg [3], ba [3], pre_const, pose_R, pose_p,
+        imu_info, edge_valid) -> (Rwg, scale)
+    """
+    gs_fn = RES.make_inertial_gs(gravity)
+
+    @jax.jit
+    def run(Rwg0, vel, bg, ba, pre_const, pose_R, pose_p, imu_info,
+            edge_valid):
+        n_e = n_kf - 1
+        idx1 = jnp.arange(n_e, dtype=jnp.int32)
+        z = jnp.zeros(n_e, jnp.int32)
+        const = dict(pre_const)
+        const["R1"] = pose_R[:-1]
+        const["p1"] = pose_p[:-1]
+        const["R2"] = pose_R[1:]
+        const["p2"] = pose_p[1:]
+        prob = E.Problem()
+        prob.add_dense("gdir", 1, 2, RES.retract_gdir)
+        prob.add_dense("scale", 1, 1, RES.retract_scale)
+        prob.add_dense("bg", 1, 3, RES.retract_additive)
+        prob.add_dense("ba", 1, 3, RES.retract_additive)
+        prob.add_dense("vel", n_kf, 3, RES.retract_additive)
+        prob.add_term(E.Term(
+            name="gs", res_fn=gs_fn, rdim=9,
+            dense_refs=[("gdir", z), ("scale", z), ("bg", z), ("ba", z),
+                        ("vel", idx1), ("vel", idx1 + 1)],
+            const=const, mask=edge_valid, info=imu_info))
+        states = {"gdir": Rwg0[None], "scale": jnp.ones((1, 1), jnp.float32),
+                  "bg": bg[None], "ba": ba[None], "vel": vel}
+        free = {"gdir": jnp.asarray([True]), "scale": jnp.asarray([True]),
+                "bg": jnp.asarray([False]), "ba": jnp.asarray([False]),
+                "vel": jnp.zeros(n_kf, bool)}
+        states, _, _ = E.optimize(prob, states, iters=iters,
+                                  dense_free_mask=free)
+        return states["gdir"][0], states["scale"][0, 0]
 
     return run
 

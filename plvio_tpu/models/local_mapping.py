@@ -29,7 +29,8 @@ from .mapstore import MapStore, Atlas, INVALID
 class LocalMapper:
     def __init__(self, cfg: SystemConfig, atlas: Atlas, n_feat: int,
                  ba_kf_cap: int = 16, ba_pt_cap: int = 4096,
-                 ba_obs_cap: int = 8192, tri_cap: Optional[int] = None):
+                 ba_obs_cap: int = 8192, tri_cap: Optional[int] = None,
+                 imu_init_cap: int = 32):
         self.cfg = cfg
         self.atlas = atlas
         self.n_feat = n_feat
@@ -45,6 +46,27 @@ class LocalMapper:
             self.K, ba_kf_cap, ba_pt_cap, ba_obs_cap)
         self.recent_pts: List[np.ndarray] = []  # per-KF batches for culling
 
+        # inertial machinery
+        self.use_imu = cfg.sensor in (3, 4)
+        self.imu_init_cap = imu_init_cap
+        self.pending_transform = None  # (R_gw, scale) for the tracker
+        if self.use_imu:
+            from ..ops import imu as IMUOPS
+            self._imu_ops = IMUOPS
+            self.calib = IMUOPS.make_calib(cfg.imu)
+            self.Tbc = cfg.imu.Tbc_matrix().astype(np.float32)
+            R_bc, t_bc = self.Tbc[:3, :3], self.Tbc[:3, 3]
+            self.R_cb = np.asarray(R_bc.T, np.float32)
+            self.t_cb = np.asarray(-R_bc.T @ t_bc, np.float32)
+            self.imu_init_kernel = KN.make_inertial_init(
+                cfg.imu.gravity, imu_init_cap)
+            self.scale_refine_kernel = KN.make_scale_refine(
+                cfg.imu.gravity, imu_init_cap)
+            self.liba_kernel = KN.make_local_inertial_ba(
+                self.K, ba_kf_cap, ba_pt_cap, ba_obs_cap,
+                self.R_cb, self.t_cb, cfg.imu.gravity)
+            self._kf_since_init = 0
+
     @property
     def map(self) -> MapStore:
         return self.atlas.current
@@ -53,7 +75,20 @@ class LocalMapper:
     def process_keyframe(self, kf: int) -> None:
         self.cull_points()
         self.create_new_points(kf)
-        self.local_ba(kf)
+        if self.use_imu and not self.map.imu_initialized:
+            self.maybe_initialize_imu()
+        import os
+        if self.use_imu and self.map.imu_initialized \
+                and not os.environ.get("PLVIO_DISABLE_LIBA"):
+            self.local_inertial_ba(kf)
+            self._kf_since_init += 1
+            # periodic scale/gravity refinement pulses until the scale has
+            # converged (reference ScaleRefinement schedule,
+            # src/LocalMapping.cc:404-449)
+            if not self.map.imu_ba2 and self._kf_since_init % 3 == 0:
+                self.refine_scale()
+        else:
+            self.local_ba(kf)
         self.map.change_index += 1
 
     # ------------------------------------------------------------------
@@ -252,6 +287,322 @@ class LocalMapper:
         orphan = pt_ids[m.pt_n_obs[pt_ids] < 2]
         if len(orphan):
             m.remove_point(orphan)
+
+    # ------------------------------------------------------------------
+    # Inertial: initialization + windowed VI-BA
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _pre_const(p):
+        return {"dT": p.dT, "dR": p.dR, "dV": p.dV, "dP": p.dP,
+                "JRg": p.JRg, "JVg": p.JVg, "JVa": p.JVa,
+                "JPg": p.JPg, "JPa": p.JPa,
+                "bg0": p.bias_gyro, "ba0": p.bias_acc}
+
+    def _chain_preints(self, chain):
+        """Preintegrations between consecutive chain KFs (stored at the
+        later KF).  Returns list parallel to chain[1:], None where raw
+        data is missing."""
+        m = self.map
+        return [m.kf_preint.get(int(k)) for k in chain[1:]]
+
+    def _push_transform(self, R_gw, s):
+        """Compose map transforms if several fire before the tracker
+        consumes them."""
+        if self.pending_transform is None:
+            self.pending_transform = (R_gw, s)
+        else:
+            R0, s0 = self.pending_transform
+            self.pending_transform = (R_gw @ R0, s * s0)
+
+    def _chain_gs_inputs(self, chain, cap):
+        """Build padded (pose_R, pose_p, stacked preint consts, infos,
+        edge_valid) for the gravity/scale problems over a KF chain."""
+        import jax.numpy as jnp
+        m = self.map
+        n = len(chain)
+        preints = self._chain_preints(chain)
+        m.recompute_body_poses(self.Tbc)
+        pose_R = np.tile(np.eye(3, dtype=np.float32), (cap, 1, 1))
+        pose_p = np.zeros((cap, 3), np.float32)
+        pose_R[:n] = m.kf_pose_wb[chain, :, :3]
+        pose_p[:n] = m.kf_pose_wb[chain, :, 3]
+        ident = self._imu_ops.identity_preintegrated()
+        stack = {}
+        for key in self._pre_const(ident):
+            vals = []
+            for i in range(cap - 1):
+                p = preints[i] if i < len(preints) and preints[i] is not None \
+                    else ident
+                vals.append(self._pre_const(p)[key])
+            stack[key] = jnp.stack(vals)
+        infos = []
+        edge_valid = np.zeros(cap - 1, bool)
+        for i in range(cap - 1):
+            p = preints[i] if i < len(preints) else None
+            if p is not None and float(p.dT) > 1e-4:
+                C9 = np.asarray(p.C)[:9, :9] + np.eye(9) * 1e-8
+                infos.append(np.linalg.inv(C9))
+                edge_valid[i] = True
+            else:
+                infos.append(np.eye(9))
+        infos = jnp.asarray(np.stack(infos), jnp.float32)
+        return pose_R, pose_p, stack, infos, edge_valid
+
+    def refine_scale(self) -> None:
+        """One gravity/scale refinement pulse over the recent chain."""
+        import jax.numpy as jnp
+        m = self.map
+        chain = m.kf_chain()[-self.imu_init_cap:]
+        if len(chain) < 4:
+            return
+        n = len(chain)
+        cap = self.imu_init_cap
+        pose_R, pose_p, stack, infos, edge_valid = self._chain_gs_inputs(
+            chain, cap)
+        vel = np.zeros((cap, 3), np.float32)
+        vel[:n] = m.kf_vel[chain]
+        newest = chain[-1]
+        Rwg, s = self.scale_refine_kernel(
+            jnp.eye(3, dtype=jnp.float32), jnp.asarray(vel),
+            jnp.asarray(m.kf_bias_g[newest], jnp.float32),
+            jnp.asarray(m.kf_bias_a[newest], jnp.float32),
+            stack, jnp.asarray(pose_R), jnp.asarray(pose_p), infos,
+            jnp.asarray(edge_valid))
+        s = float(s)
+        if not np.isfinite(s) or abs(s - 1.0) < 1e-3 or s < 0.3 or s > 3.0:
+            if abs(s - 1.0) < 1e-3:
+                self.map.imu_ba2 = True   # scale converged
+            return
+        R_gw = np.asarray(Rwg).T
+        m.apply_scaled_rotation(R_gw, s, self.Tbc)
+        self._push_transform(R_gw, s)
+
+    def maybe_initialize_imu(self, min_kfs: int = 8,
+                             min_span: float = 1.9) -> None:
+        """reference LocalMapping::InitializeIMU src/LocalMapping.cc:2143:
+        once enough KFs/time, solve gravity dir + scale + biases +
+        velocities with poses fixed, then rotate/scale the map and run a
+        full inertial BA."""
+        m = self.map
+        chain = m.kf_chain()
+        if len(chain) < min_kfs:
+            return
+        span = m.kf_timestamp[chain[-1]] - m.kf_timestamp[chain[0]]
+        if span < min_span:
+            return
+        chain = chain[-self.imu_init_cap:]
+        preints = self._chain_preints(chain)
+        ok_edges = [p is not None and float(p.dT) > 1e-4 for p in preints]
+        if sum(ok_edges) < min_kfs - 1:
+            return
+
+        cap = self.imu_init_cap
+        n = len(chain)
+        m.recompute_body_poses(self.Tbc)
+        pose_R = np.tile(np.eye(3, dtype=np.float32), (cap, 1, 1))
+        pose_p = np.zeros((cap, 3), np.float32)
+        pose_R[:n] = m.kf_pose_wb[chain, :, :3]
+        pose_p[:n] = m.kf_pose_wb[chain, :, 3]
+
+        # stacked constants, identity-filled where missing
+        import jax.numpy as jnp
+        from ..ops import imu as IMUOPS
+        ident = IMUOPS.identity_preintegrated()
+        stack = {}
+        for key in self._pre_const(ident):
+            vals = []
+            for i in range(cap - 1):
+                p = preints[i] if i < len(preints) and preints[i] is not None \
+                    else ident
+                vals.append(self._pre_const(p)[key])
+            stack[key] = jnp.stack(vals)
+        infos = []
+        edge_valid = np.zeros(cap - 1, bool)
+        for i in range(cap - 1):
+            if i < len(preints) and preints[i] is not None and ok_edges[i]:
+                C9 = np.asarray(preints[i].C)[:9, :9] + np.eye(9) * 1e-8
+                infos.append(np.linalg.inv(C9))
+                edge_valid[i] = True
+            else:
+                infos.append(np.eye(9))
+        infos = jnp.asarray(np.stack(infos), jnp.float32)
+
+        # initial velocities: position differences over the chain
+        vel0 = np.zeros((cap, 3), np.float32)
+        dts = np.diff(m.kf_timestamp[chain])
+        dp = np.diff(pose_p[:n], axis=0)
+        v = dp / np.maximum(dts[:, None], 1e-3)
+        vel0[:n - 1] = v
+        vel0[n - 1] = v[-1]
+
+        # initial gravity direction: average accelerometer in world
+        dirG = np.zeros(3)
+        for i, p in enumerate(preints):
+            if p is not None:
+                dirG -= pose_R[i + 1] @ np.asarray(p.avg_a)
+        nrm = np.linalg.norm(dirG)
+        if nrm < 1e-6:
+            return
+        dirG /= nrm
+        gI = np.array([0.0, 0.0, -1.0])
+        vx = np.cross(gI, dirG)
+        s_ = np.linalg.norm(vx)
+        ang = np.arctan2(s_, float(gI @ dirG))
+        from ..utils import lie
+        Rwg0 = np.asarray(lie.so3_exp(
+            jnp.asarray(vx / max(s_, 1e-9) * ang, jnp.float32)))
+
+        Rwg, scale, bg, ba, vel = self.imu_init_kernel(
+            jnp.asarray(Rwg0, jnp.float32), jnp.asarray(vel0),
+            stack, jnp.asarray(pose_R), jnp.asarray(pose_p), infos,
+            jnp.asarray(edge_valid))
+        scale = float(scale)
+        if scale < 1e-2:   # degenerate (reference aborts if scale<0.02)
+            return
+        bg = np.asarray(bg)
+        ba = np.asarray(ba)
+
+        # write velocities/biases (SLAM frame), then re-express the map in
+        # the gravity-aligned metric frame
+        m.kf_vel[chain] = np.asarray(vel)[:n]
+        kfs = m.valid_kf_indices()
+        m.kf_bias_g[kfs] = bg
+        m.kf_bias_a[kfs] = ba
+        R_gw = np.asarray(Rwg).T
+        m.apply_scaled_rotation(R_gw, scale, self.Tbc)
+
+        # reintegrate stored KF windows at the solved biases
+        for k in list(m.kf_imu_raw.keys()):
+            g_, a_, d_ = m.kf_imu_raw[k]
+            m.kf_preint[k] = self._reintegrate(g_, a_, d_, bg, ba)
+
+        m.imu_initialized = True
+        self._push_transform(R_gw, scale)
+        # full inertial BA over the recent chain (reference FullInertialBA)
+        self.local_inertial_ba(int(chain[-1]), window=min(len(chain),
+                                                          self.ba_kf_cap))
+        m.imu_ba1 = True
+
+    def _reintegrate(self, g, a, d, bg, ba):
+        import jax.numpy as jnp
+        cap = 64
+        while cap < len(g):
+            cap *= 2
+        gg = np.zeros((cap, 3), np.float32)
+        aa = np.zeros((cap, 3), np.float32)
+        dd = np.zeros((cap,), np.float32)
+        mm = np.zeros((cap,), bool)
+        gg[:len(g)] = g
+        aa[:len(a)] = a
+        dd[:len(d)] = d
+        mm[:len(d)] = True
+        return self._imu_ops.preintegrate(
+            jnp.asarray(gg), jnp.asarray(aa), jnp.asarray(dd),
+            jnp.asarray(mm), self.calib,
+            jnp.asarray(bg, jnp.float32), jnp.asarray(ba, jnp.float32))
+
+    def local_inertial_ba(self, kf: int, window: Optional[int] = None) -> None:
+        """Sliding-window VI-BA over the temporal chain (reference
+        LocalInertialBA src/Optimizer.cc:9185: window Nd, fixed anchor)."""
+        import jax.numpy as jnp
+        m = self.map
+        W = window or min(self.cfg.tracking.lba_window + 1, self.ba_kf_cap)
+        chain = m.kf_chain()
+        if len(chain) < 3:
+            return
+        win = chain[-W:]
+        n = len(win)
+        cap = self.ba_kf_cap
+        m.recompute_body_poses(self.Tbc)
+
+        kf_pose_wb = np.tile(np.eye(3, 4, dtype=np.float32), (cap, 1, 1))
+        kf_pose_wb[:n] = m.kf_pose_wb[win]
+        kf_vel = np.zeros((cap, 3), np.float32)
+        kf_vel[:n] = m.kf_vel[win]
+        kf_bg = np.zeros((cap, 3), np.float32)
+        kf_bg[:n] = m.kf_bias_g[win]
+        kf_ba = np.zeros((cap, 3), np.float32)
+        kf_ba[:n] = m.kf_bias_a[win]
+        kf_free = np.zeros(cap, bool)
+        kf_free[1:n] = True     # anchor = oldest window KF
+
+        # preintegration chain
+        preints = self._chain_preints(win)
+        ident = self._imu_ops.identity_preintegrated()
+        stack = {}
+        for key in self._pre_const(ident):
+            vals = []
+            for i in range(cap - 1):
+                p = preints[i] if i < len(preints) and preints[i] is not None \
+                    else ident
+                vals.append(self._pre_const(p)[key])
+            stack[key] = jnp.stack(vals)
+        infos = []
+        edge_valid = np.zeros(cap - 1, bool)
+        rw_g = np.zeros(cap - 1, np.float32)
+        rw_a = np.zeros(cap - 1, np.float32)
+        for i in range(cap - 1):
+            p = preints[i] if i < len(preints) else None
+            if p is not None and float(p.dT) > 1e-4:
+                C9 = np.asarray(p.C)[:9, :9] + np.eye(9) * 1e-8
+                infos.append(np.linalg.inv(C9))
+                edge_valid[i] = True
+                Cb = np.asarray(p.C)
+                rw_g[i] = 1.0 / max(Cb[9:12, 9:12].trace() / 3, 1e-12)
+                rw_a[i] = 1.0 / max(Cb[12:15, 12:15].trace() / 3, 1e-12)
+            else:
+                infos.append(np.eye(9))
+        infos = jnp.asarray(np.stack(infos), jnp.float32)
+
+        # visual observations of window KFs
+        pt_ids = np.unique(m.kf_match_pt[win])
+        pt_ids = pt_ids[pt_ids >= 0]
+        pt_ids = pt_ids[m.pt_valid[pt_ids]][:self.ba_pt_cap]
+        pt_slot = np.full(m.max_pts, -1, np.int32)
+        pt_slot[pt_ids] = np.arange(len(pt_ids))
+        obs_kf, obs_pt, obs_uv, obs_is2 = [], [], [], []
+        for s, kfi in enumerate(win):
+            match = m.kf_match_pt[kfi]
+            feat = np.nonzero((match >= 0) & np.isin(match, pt_ids))[0]
+            obs_kf.append(np.full(len(feat), s, np.int32))
+            obs_pt.append(pt_slot[match[feat]])
+            obs_uv.append(m.kf_feat_uv[kfi, feat])
+            obs_is2.append(1.0 / 1.2 ** (2.0 * m.kf_feat_octave[kfi, feat]))
+        obs_kf = np.concatenate(obs_kf)[:self.ba_obs_cap]
+        obs_pt = np.concatenate(obs_pt)[:self.ba_obs_cap]
+        obs_uv = np.concatenate(obs_uv)[:self.ba_obs_cap]
+        obs_is2 = np.concatenate(obs_is2)[:self.ba_obs_cap]
+        n_obs = len(obs_kf)
+
+        def pad(a, capn, fill=0):
+            out = np.full((capn,) + a.shape[1:], fill, a.dtype)
+            out[:len(a)] = a
+            return out
+
+        pt_xyz = np.zeros((self.ba_pt_cap, 3), np.float32)
+        pt_xyz[:len(pt_ids)] = m.pt_xyz[pt_ids]
+        pt_free = np.zeros(self.ba_pt_cap, bool)
+        pt_free[:len(pt_ids)] = True
+
+        (pose_out, vel_out, bg_out, ba_out, pt_out, inlier) = self.liba_kernel(
+            jnp.asarray(kf_pose_wb), jnp.asarray(kf_vel), jnp.asarray(kf_bg),
+            jnp.asarray(kf_ba), jnp.asarray(kf_free),
+            jnp.asarray(pt_xyz), jnp.asarray(pt_free),
+            jnp.asarray(pad(obs_kf, self.ba_obs_cap)),
+            jnp.asarray(pad(obs_pt, self.ba_obs_cap)),
+            jnp.asarray(pad(obs_uv, self.ba_obs_cap)),
+            jnp.asarray(pad(np.ones(n_obs, bool), self.ba_obs_cap, False)),
+            jnp.asarray(pad(obs_is2.astype(np.float32), self.ba_obs_cap)),
+            stack, infos, jnp.asarray(edge_valid),
+            jnp.asarray(rw_g), jnp.asarray(rw_a))
+
+        free = kf_free[:n]
+        m.kf_pose_wb[win[free]] = np.asarray(pose_out)[:n][free]
+        m.kf_vel[win[free]] = np.asarray(vel_out)[:n][free]
+        m.kf_bias_g[win[free]] = np.asarray(bg_out)[:n][free]
+        m.kf_bias_a[win[free]] = np.asarray(ba_out)[:n][free]
+        m.set_cam_poses_from_body(win[free], self.Tbc)
+        m.pt_xyz[pt_ids] = np.asarray(pt_out)[:len(pt_ids)]
 
     # ------------------------------------------------------------------
     def cull_keyframes(self, kf: int) -> None:

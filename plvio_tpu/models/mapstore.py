@@ -93,6 +93,11 @@ class MapStore:
         self.imu_initialized = False
         self.imu_ba1 = False
         self.imu_ba2 = False
+        # preintegrated IMU from the previous KF in the temporal chain,
+        # plus the raw samples for exact reintegration at new biases
+        # (reference KeyFrame::mpImuPreintegrated + Reintegrate)
+        self.kf_preint = {}       # kf -> ops.imu.Preintegrated
+        self.kf_imu_raw = {}      # kf -> (gyro [K,3], acc [K,3], dt [K])
 
     # ------------------------------------------------------------------
     def alloc_kf(self) -> int:
@@ -220,6 +225,68 @@ class MapStore:
 
     def valid_kf_indices(self) -> np.ndarray:
         return np.nonzero(self.kf_valid)[0]
+
+    def kf_chain(self) -> np.ndarray:
+        """Temporal keyframe chain oldest->newest via kf_prev/kf_next."""
+        kfs = self.valid_kf_indices()
+        return kfs[np.argsort(self.kf_timestamp[kfs])]
+
+    def apply_scaled_rotation(self, R_gw: np.ndarray, scale: float,
+                              Tbc: Optional[np.ndarray] = None) -> None:
+        """Re-express the whole map in a gravity-aligned, metric frame:
+        X' = s * R_gw X (reference Map::ApplyScaledRotation,
+        include/Map.h:129-130, called from LocalMapping::InitializeIMU
+        src/LocalMapping.cc:2258).
+
+        Camera poses update as T_cw' = [R_cw R_gw^T | s t_cw]; body poses
+        and velocities are recomputed from the camera poses + Tbc.
+        """
+        R_gw = np.asarray(R_gw, np.float32)
+        kfs = self.valid_kf_indices()
+        R_cw = self.kf_pose_cw[kfs, :, :3]
+        t_cw = self.kf_pose_cw[kfs, :, 3]
+        self.kf_pose_cw[kfs, :, :3] = np.einsum("kij,lj->kil", R_cw, R_gw)
+        self.kf_pose_cw[kfs, :, 3] = scale * t_cw
+        self.pt_xyz[self.pt_valid] = scale * np.einsum(
+            "ij,kj->ki", R_gw, self.pt_xyz[self.pt_valid])
+        if self.ln_valid.any():
+            ep = self.ln_ep[self.ln_valid].reshape(-1, 3)
+            self.ln_ep[self.ln_valid] = (scale * np.einsum(
+                "ij,kj->ki", R_gw, ep)).reshape(-1, 6)
+        self.kf_vel[kfs] = scale * np.einsum("ij,kj->ki", R_gw, self.kf_vel[kfs])
+        if Tbc is not None:
+            self.recompute_body_poses(Tbc)
+        self.change_index += 1
+
+    def recompute_body_poses(self, Tbc: np.ndarray) -> None:
+        """kf_pose_wb from kf_pose_cw: T_wb = T_wc * T_cb with
+        T_cb = Tbc^{-1} (Tbc maps camera->body)."""
+        R_bc = np.asarray(Tbc[:3, :3], np.float32)
+        t_bc = np.asarray(Tbc[:3, 3], np.float32)
+        R_cb = R_bc.T
+        t_cb = -R_cb @ t_bc
+        kfs = self.valid_kf_indices()
+        R_cw = self.kf_pose_cw[kfs, :, :3]
+        t_cw = self.kf_pose_cw[kfs, :, 3]
+        R_wc = R_cw.transpose(0, 2, 1)
+        p_wc = -np.einsum("kij,kj->ki", R_wc, t_cw)
+        R_wb = np.einsum("kij,jl->kil", R_wc, R_cb)
+        p_wb = np.einsum("kij,j->ki", R_wc, t_cb) + p_wc
+        self.kf_pose_wb[kfs, :, :3] = R_wb
+        self.kf_pose_wb[kfs, :, 3] = p_wb
+
+    def set_cam_poses_from_body(self, kfs: np.ndarray, Tbc: np.ndarray) -> None:
+        """Inverse of recompute_body_poses for the given KFs."""
+        R_bc = np.asarray(Tbc[:3, :3], np.float32)
+        t_bc = np.asarray(Tbc[:3, 3], np.float32)
+        R_wb = self.kf_pose_wb[kfs, :, :3]
+        p_wb = self.kf_pose_wb[kfs, :, 3]
+        R_wc = np.einsum("kij,jl->kil", R_wb, R_bc)
+        p_wc = np.einsum("kij,j->ki", R_wb, t_bc) + p_wb
+        R_cw = R_wc.transpose(0, 2, 1)
+        t_cw = -np.einsum("kij,kj->ki", R_cw, p_wc)
+        self.kf_pose_cw[kfs, :, :3] = R_cw
+        self.kf_pose_cw[kfs, :, 3] = t_cw
 
     def kf_centers(self) -> np.ndarray:
         """Camera centers of all KFs: C = -R^T t."""

@@ -73,13 +73,21 @@ class System:
     def track_monocular(self, img: np.ndarray, timestamp: float,
                         imu: Optional[Sequence] = None) -> Optional[np.ndarray]:
         """Per-frame entry (reference System::TrackMonocular,
-        src/System.cc:560).  img: [H,W] grayscale float32/uint8."""
+        src/System.cc:560).  img: [H,W] grayscale float32/uint8;
+        imu: optional (gyro [k,3], acc [k,3], dt [k]) batch of samples
+        since the previous frame."""
         feats = self.extract(jnp.asarray(img, jnp.float32))
         # undistort keypoint coordinates once per frame
         und = CAM.undistort_pixels(self.camera, feats.uv)
         feats = feats._replace(uv_und=und)
-        pose = self.tracker.process_frame(feats, timestamp)
+        pose = self.tracker.process_frame(feats, timestamp, imu=imu)
         self._drain_keyframes()
+        # IMU init re-expressed the map: bring the tracker's frame state
+        # into the new gravity-aligned metric frame
+        if self.mapper.pending_transform is not None:
+            R_gw, scale = self.mapper.pending_transform
+            self.mapper.pending_transform = None
+            self.tracker.apply_map_transform(R_gw, scale)
         return pose
 
     def _drain_keyframes(self):

@@ -57,16 +57,39 @@ class FrameRecord:
 
 class Tracker:
     def __init__(self, cfg: SystemConfig, atlas: Atlas, n_feat: int,
-                 local_pts_cap: int = 2048):
+                 local_pts_cap: int = 2048, imu_cap: int = 64):
         self.cfg = cfg
         self.atlas = atlas
         self.n_feat = n_feat
         self.local_cap = local_pts_cap
+        self.imu_cap = imu_cap
         cam = cfg.camera
         self.K = PinholeK(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
 
         self.pose_opt = KN.make_pose_optimizer(self.K, local_pts_cap)
         self.proj_match = KN.make_projection_matcher(self.K, n_feat, local_pts_cap)
+
+        # inertial machinery (used when sensor has IMU)
+        self.use_imu = cfg.sensor in (3, 4)  # IMU_MONOCULAR / IMU_STEREO
+        from ..ops import imu as IMUOPS
+        self._imu_ops = IMUOPS
+        self.calib = IMUOPS.make_calib(cfg.imu)
+        Tbc = cfg.imu.Tbc_matrix()
+        self.Tbc = Tbc.astype(np.float32)
+        R_bc, t_bc = Tbc[:3, :3], Tbc[:3, 3]
+        self.R_cb = np.asarray(R_bc.T, np.float32)
+        self.t_cb = np.asarray(-R_bc.T @ t_bc, np.float32)
+        self.gravity_w = np.array([0, 0, -cfg.imu.gravity], np.float32)
+        self.vi_pose_opt = KN.make_vi_pose_optimizer(
+            self.K, local_pts_cap, self.R_cb, self.t_cb, cfg.imu.gravity)
+        # raw IMU buffered since the last keyframe (for exact
+        # reintegration; reference Tracking::mlQueueImuData)
+        self.imu_since_kf: list = []
+        self.last_frame_time: Optional[float] = None
+        # frame inertial state (body)
+        self.frame_vel = np.zeros(3, np.float32)
+        self.frame_bg = np.zeros(3, np.float32)
+        self.frame_ba = np.zeros(3, np.float32)
 
         self.state = TrackState.NO_IMAGES_YET
         self.last_feats: Optional[Features] = None
@@ -88,10 +111,52 @@ class Tracker:
     def map(self) -> MapStore:
         return self.atlas.current
 
-    def process_frame(self, feats: Features, timestamp: float
-                      ) -> Optional[np.ndarray]:
-        """Returns T_cw [3,4] or None while not tracking."""
+    def grab_imu(self, gyro: np.ndarray, acc: np.ndarray,
+                 dts: np.ndarray) -> None:
+        """Buffer IMU samples arriving before the next frame (reference
+        Tracking::GrabImuData src/Tracking.cc:1388)."""
+        if len(gyro):
+            self.imu_since_kf.append(
+                (np.asarray(gyro, np.float32), np.asarray(acc, np.float32),
+                 np.asarray(dts, np.float32)))
+
+    def _preintegrate_batches(self, batches, bg, ba):
+        """Preintegrate a list of (gyro, acc, dt) batches, padded to a
+        static capacity."""
+        from ..ops import imu as IMUOPS
+        if batches:
+            g = np.concatenate([b[0] for b in batches])
+            a = np.concatenate([b[1] for b in batches])
+            d = np.concatenate([b[2] for b in batches])
+        else:
+            g = np.zeros((0, 3), np.float32)
+            a = np.zeros((0, 3), np.float32)
+            d = np.zeros((0,), np.float32)
+        cap = self.imu_cap
+        while cap < len(g):
+            cap *= 2
+        gg = np.zeros((cap, 3), np.float32)
+        aa = np.zeros((cap, 3), np.float32)
+        dd = np.zeros((cap,), np.float32)
+        mm = np.zeros((cap,), bool)
+        gg[:len(g)] = g
+        aa[:len(a)] = a
+        dd[:len(d)] = d
+        mm[:len(d)] = True
+        return IMUOPS.preintegrate(
+            jnp.asarray(gg), jnp.asarray(aa), jnp.asarray(dd),
+            jnp.asarray(mm), self.calib,
+            jnp.asarray(bg, jnp.float32), jnp.asarray(ba, jnp.float32))
+
+    def process_frame(self, feats: Features, timestamp: float,
+                      imu: Optional[tuple] = None) -> Optional[np.ndarray]:
+        """Returns T_cw [3,4] or None while not tracking.  `imu` is an
+        optional (gyro [k,3], acc [k,3], dt [k]) batch since last frame."""
         self.frame_idx += 1
+        self._frame_imu = None
+        if self.use_imu and imu is not None:
+            self.grab_imu(*imu)
+            self._frame_imu = imu
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             self._initialize_mono(feats, timestamp)
             if self.state == TrackState.OK:
@@ -137,6 +202,7 @@ class Tracker:
                 self.init_feats = feats
                 self.init_timestamp = timestamp
                 self.state = TrackState.NOT_INITIALIZED
+                self.imu_since_kf = []  # IMU window starts at the init frame
             return
 
         f0, f1 = self.init_feats, feats
@@ -148,6 +214,7 @@ class Tracker:
         if n_matches < 80:
             self.init_feats = feats  # slide the window forward
             self.init_timestamp = timestamp
+            self.imu_since_kf = []
             return
 
         uv0 = f0.uv_und
@@ -198,6 +265,13 @@ class Tracker:
         m.pt_visible[pts] = 2
         m.update_covisibility(kf1)
 
+        if self.use_imu:
+            self.frame_vel = np.zeros(3, np.float32)
+            self.frame_bg = np.zeros(3, np.float32)
+            self.frame_ba = np.zeros(3, np.float32)
+            m.kf_pose_wb[kf0] = self._cw_to_wb(m.kf_pose_cw[kf0])
+            self._store_kf_inertial(kf1)
+
         self.ref_kf = kf1
         self.last_feats = f1
         self.last_pose_cw = np.asarray(m.kf_pose_cw[kf1])
@@ -218,6 +292,52 @@ class Tracker:
         m.kf_feat_angle[kf, :n] = np.asarray(f.angle)[:n]
         m.kf_feat_desc[kf, :n] = np.asarray(M.pack_bits_u32(f.desc))[:n]
         m.kf_feat_valid[kf, :n] = np.asarray(f.valid)[:n]
+
+    # ------------------------------------------------------------------
+    # Body <-> camera pose conversion (Tbc maps camera->body)
+    # ------------------------------------------------------------------
+    def _cw_to_wb(self, pose_cw: np.ndarray) -> np.ndarray:
+        """T_wb = T_wc o T_cb  (T_cb = camera-from-body = Tbc^{-1})."""
+        R_cw, t_cw = pose_cw[:, :3], pose_cw[:, 3]
+        R_wc = R_cw.T
+        p_wc = -R_wc @ t_cw
+        R_wb = R_wc @ self.R_cb
+        p_wb = R_wc @ self.t_cb + p_wc
+        return np.concatenate([R_wb, p_wb[:, None]], 1).astype(np.float32)
+
+    def _wb_to_cw(self, pose_wb: np.ndarray) -> np.ndarray:
+        R_wb, p_wb = pose_wb[:, :3], pose_wb[:, 3]
+        R_bc = self.Tbc[:3, :3]
+        t_bc = self.Tbc[:3, 3]
+        R_wc = R_wb @ R_bc
+        p_wc = R_wb @ t_bc + p_wb
+        R_cw = R_wc.T
+        t_cw = -R_cw @ p_wc
+        return np.concatenate([R_cw, t_cw[:, None]], 1).astype(np.float32)
+
+    def apply_map_transform(self, R_gw: np.ndarray, scale: float) -> None:
+        """Bring the tracker's frame state into the new gravity-aligned
+        metric frame after IMU init (reference Tracking::UpdateFrameIMU,
+        src/Tracking.cc:6117)."""
+        R_gw = np.asarray(R_gw, np.float32)
+        R_cw, t_cw = self.last_pose_cw[:, :3], self.last_pose_cw[:, 3]
+        self.last_pose_cw = np.concatenate(
+            [R_cw @ R_gw.T, (scale * t_cw)[:, None]], 1).astype(np.float32)
+        self.frame_vel = scale * (R_gw @ self.frame_vel)
+        # stored frame records hold T_cr relative to their ref KF; under a
+        # similarity the rotation is invariant but the translation scales
+        # (reference scales mlRelativeFramePoses in UpdateFrameIMU)
+        for rec in self.frames:
+            rec.T_cr = rec.T_cr.copy()
+            rec.T_cr[:, 3] *= scale
+        m = self.map
+        kfs = m.kf_chain()
+        if len(kfs):
+            newest = kfs[-1]
+            self.frame_bg = m.kf_bias_g[newest].copy()
+            self.frame_ba = m.kf_bias_a[newest].copy()
+            self.frame_vel = m.kf_vel[newest].copy()
+        self.velocity = None  # motion model invalid across the jump
 
     # ------------------------------------------------------------------
     # Frame tracking
@@ -245,11 +365,31 @@ class Tracker:
         return ids, live & m.pt_valid[safe], (xyz, desc)
 
     def _track_frame(self, feats: Features, timestamp: float) -> bool:
-        pose_pred = self._predict_pose()
-        ids, live, (xyz, desc) = self._gather_local_points()
+        import os
         m = self.map
+        vi_mode = self.use_imu and m.imu_initialized \
+            and not os.environ.get("PLVIO_DISABLE_VIOPT")
+        preint_frame = None
+        if vi_mode and self._frame_imu is not None:
+            # IMU state prediction from the last frame (reference
+            # PredictStateIMU, src/Tracking.cc:1507)
+            preint_frame = self._preintegrate_batches(
+                [self._frame_imu], self.frame_bg, self.frame_ba)
+            last_wb = self._cw_to_wb(self.last_pose_cw)
+            R2, v2, p2 = self._imu_ops.predict_state(
+                preint_frame, jnp.asarray(last_wb[:, :3]),
+                jnp.asarray(self.frame_vel), jnp.asarray(last_wb[:, 3]),
+                jnp.asarray(self.gravity_w))
+            pred_wb = np.concatenate(
+                [np.asarray(R2), np.asarray(p2)[:, None]], 1).astype(np.float32)
+            pose_pred = self._wb_to_cw(pred_wb)
+            self._pred_wb = pred_wb
+            self._pred_vel = np.asarray(v2)
+        else:
+            pose_pred = self._predict_pose()
+        ids, live, (xyz, desc) = self._gather_local_points()
 
-        radius = 15.0 if self.velocity is not None else 40.0
+        radius = 15.0 if (self.velocity is not None or vi_mode) else 40.0
         uv_m, pt_feat, matched, feat_pt = self.proj_match(
             jnp.asarray(pose_pred), jnp.asarray(xyz), jnp.asarray(desc),
             jnp.asarray(live), feats.uv_und,
@@ -270,8 +410,38 @@ class Tracker:
         inv_sigma2 = 1.0 / (1.2 ** (2.0 * np.asarray(
             feats.octave, np.float32)))
         is2 = jnp.asarray(inv_sigma2)[pt_feat]
-        pose, inlier, n_inl = self.pose_opt(
-            jnp.asarray(pose_pred), uv_m, jnp.asarray(xyz), matched, is2)
+        if vi_mode and preint_frame is not None:
+            last_wb = self._cw_to_wb(self.last_pose_cw)
+            pre_const = {
+                "dT": preint_frame.dT, "dR": preint_frame.dR,
+                "dV": preint_frame.dV, "dP": preint_frame.dP,
+                "JRg": preint_frame.JRg, "JVg": preint_frame.JVg,
+                "JVa": preint_frame.JVa, "JPg": preint_frame.JPg,
+                "JPa": preint_frame.JPa,
+                "bg0": preint_frame.bias_gyro, "ba0": preint_frame.bias_acc}
+            C9 = np.asarray(preint_frame.C)[:9, :9] + np.eye(9) * 1e-8
+            imu_info = jnp.asarray(np.linalg.inv(C9), jnp.float32)
+            # random-walk information over this frame interval
+            dT = max(float(preint_frame.dT), 1e-3)
+            n_samp = dT * self.cfg.imu.frequency
+            rw_info = np.concatenate([
+                np.full(3, 1.0 / (self.cfg.imu.gyro_walk ** 2 * n_samp)),
+                np.full(3, 1.0 / (self.cfg.imu.acc_walk ** 2 * n_samp))])
+            pose_wb, vel, bg, ba, inlier, n_inl = self.vi_pose_opt(
+                jnp.asarray(self._pred_wb), jnp.asarray(self._pred_vel),
+                jnp.asarray(self.frame_bg), jnp.asarray(self.frame_ba),
+                uv_m, jnp.asarray(xyz), matched, is2,
+                jnp.asarray(last_wb), jnp.asarray(self.frame_vel),
+                pre_const, imu_info,
+                jnp.asarray(rw_info, jnp.float32))
+            pose = self._wb_to_cw(np.asarray(pose_wb))
+            self.frame_vel = np.asarray(vel)
+            self.frame_bg = np.asarray(bg)
+            self.frame_ba = np.asarray(ba)
+            pose = jnp.asarray(pose)
+        else:
+            pose, inlier, n_inl = self.pose_opt(
+                jnp.asarray(pose_pred), uv_m, jnp.asarray(xyz), matched, is2)
         n_inliers = int(n_inl)
         if n_inliers < self.cfg.tracking.min_inliers_track:
             return False
@@ -327,10 +497,31 @@ class Tracker:
         m.kf_match_pt[kf] = np.where(matched, self.last_feat_pt, INVALID)
         m.pt_n_obs[self.last_feat_pt[matched]] += 1
         m.update_covisibility(kf)
+        if self.use_imu:
+            self._store_kf_inertial(kf)
         self.ref_kf = kf
         self.last_kf_frame_idx = self.frame_idx
         self.new_kf_queue.append(kf)
         m.change_index += 1
+
+    def _store_kf_inertial(self, kf: int) -> None:
+        """Preintegrate the buffered IMU window since the previous KF and
+        attach it + the raw samples (reference CreateNewKeyFrame sets
+        mpImuPreintegratedFromLastKF, src/Tracking.cc:4850)."""
+        m = self.map
+        pre = self._preintegrate_batches(self.imu_since_kf,
+                                         self.frame_bg, self.frame_ba)
+        m.kf_preint[kf] = pre
+        if self.imu_since_kf:
+            m.kf_imu_raw[kf] = (
+                np.concatenate([b[0] for b in self.imu_since_kf]),
+                np.concatenate([b[1] for b in self.imu_since_kf]),
+                np.concatenate([b[2] for b in self.imu_since_kf]))
+        self.imu_since_kf = []
+        m.kf_pose_wb[kf] = self._cw_to_wb(m.kf_pose_cw[kf])
+        m.kf_vel[kf] = self.frame_vel
+        m.kf_bias_g[kf] = self.frame_bg
+        m.kf_bias_a[kf] = self.frame_ba
 
     # ------------------------------------------------------------------
     def full_trajectory(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
