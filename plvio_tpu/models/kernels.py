@@ -132,6 +132,313 @@ def fast_pose_opt(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
     return Rt, inlier, jnp.sum(inlier)
 
 
+def fast_pose_opt_pl(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
+                     l_obs, Xs, Xe, valid_l, is2_l,
+                     rounds: int = 4, iters: int = 3,
+                     w_line: float = 1.0):
+    """Fused point+line pose-only IRLS with closed-form Jacobians
+    (reference PoseOptimizationWithLine, src/Optimizer.cc:2736: point
+    reprojection edges + per-line two endpoint-to-line residuals).
+
+    l_obs: [L,3] observed normalized line equations; Xs/Xe: [L,3] map-line
+    3D endpoints.  Returns (pose, inlier_pt, inlier_ln, n_inliers).
+    """
+    delta = float(np.sqrt(CHI2_MONO))
+    total_iters = rounds * iters
+
+    def point_part(Rt):
+        R, t = Rt[:, :3], Rt[:, 3]
+        pc = X @ R.T + t
+        z = jnp.maximum(pc[:, 2], 1e-4)
+        pred = jnp.stack([K.fx * pc[:, 0] / z + K.cx,
+                          K.fy * pc[:, 1] / z + K.cy], -1)
+        r = pred - uv
+        chi2 = jnp.sum(r * r, -1) * inv_sigma2
+        return r, pc, chi2
+
+    def line_endpoint(Rt, Xep):
+        """Residual + [N,6] Jacobian of l . pi(R Xep + t)."""
+        R, t = Rt[:, :3], Rt[:, 3]
+        pc = Xep @ R.T + t
+        z = jnp.maximum(pc[:, 2], 1e-4)
+        u = K.fx * pc[:, 0] / z + K.cx
+        v = K.fy * pc[:, 1] / z + K.cy
+        r = l_obs[:, 0] * u + l_obs[:, 1] * v + l_obs[:, 2]
+        inv_z = 1.0 / z
+        zero = jnp.zeros_like(z)
+        ju = jnp.stack([K.fx * inv_z, zero, -K.fx * pc[:, 0] * inv_z ** 2], -1)
+        jv = jnp.stack([zero, K.fy * inv_z, -K.fy * pc[:, 1] * inv_z ** 2], -1)
+        jp = l_obs[:, 0:1] * ju + l_obs[:, 1:2] * jv          # [L,3]
+        hx = jnp.stack([
+            jnp.stack([zero, -pc[:, 2], pc[:, 1]], -1),
+            jnp.stack([pc[:, 2], zero, -pc[:, 0]], -1),
+            jnp.stack([-pc[:, 1], pc[:, 0], zero], -1)], 1)
+        jphi = -jnp.einsum("ni,nik->nk", jp, hx)
+        J = jnp.concatenate([jp, jphi], -1)                    # [L,6]
+        return r, J, pc[:, 2]
+
+    def line_chi2(Rt):
+        rs, _, zs = line_endpoint(Rt, Xs)
+        re, _, ze = line_endpoint(Rt, Xe)
+        chi2 = (rs * rs + re * re) * is2_l
+        return chi2, (zs > 0.05) & (ze > 0.05)
+
+    def body(i, carry):
+        Rt, gate_p, gate_l = carry
+        r, pc, chi2 = point_part(Rt)
+        chi2_l, depth_ok = line_chi2(Rt)
+        round_start = (i % iters) == 0
+        new_gate_p = jnp.where(round_start & (i > 0),
+                               valid & (chi2 < CHI2_MONO), gate_p)
+        new_gate_l = jnp.where(round_start & (i > 0),
+                               valid_l & (chi2_l < CHI2_MONO), gate_l)
+        # points
+        w_h = jnp.minimum(1.0, delta / jnp.sqrt(jnp.maximum(chi2, 1e-12)))
+        w = (new_gate_p & (pc[:, 2] > 0.05)).astype(jnp.float32) * w_h * inv_sigma2
+        z = jnp.maximum(pc[:, 2], 1e-4)
+        inv_z = 1.0 / z
+        zero = jnp.zeros_like(z)
+        ju = jnp.stack([K.fx * inv_z, zero, -K.fx * pc[:, 0] * inv_z ** 2], -1)
+        jv = jnp.stack([zero, K.fy * inv_z, -K.fy * pc[:, 1] * inv_z ** 2], -1)
+        Jp = jnp.stack([ju, jv], 1)
+        hx = jnp.stack([
+            jnp.stack([zero, -pc[:, 2], pc[:, 1]], -1),
+            jnp.stack([pc[:, 2], zero, -pc[:, 0]], -1),
+            jnp.stack([-pc[:, 1], pc[:, 0], zero], -1)], 1)
+        Jphi = -jnp.einsum("nij,njk->nik", Jp, hx)
+        J = jnp.concatenate([Jp, Jphi], -1)
+        Jw = J * w[:, None, None]
+        H = jnp.einsum("ndi,ndj->ij", Jw, J)
+        g = jnp.einsum("ndi,nd->i", Jw, r)
+        # lines (both endpoints)
+        wl_h = jnp.minimum(1.0, delta / jnp.sqrt(jnp.maximum(chi2_l, 1e-12)))
+        wl = (new_gate_l & depth_ok).astype(jnp.float32) * wl_h * is2_l * w_line
+        for Xep in (Xs, Xe):
+            rl, Jl, _ = line_endpoint(Rt, Xep)
+            Jlw = Jl * wl[:, None]
+            H = H + jnp.einsum("ni,nj->ij", Jlw, Jl)
+            g = g + jnp.einsum("ni,n->i", Jlw, rl)
+        H = H + jnp.diag(jnp.diagonal(H)) * 1e-3 + jnp.eye(6) * 1e-6
+        dx = -jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(H, lower=True), g)
+        Rn, tn = lie.se3_exp(dx)
+        R_new = lie.so3_normalize(Rn @ Rt[:, :3])
+        t_new = Rn @ Rt[:, 3] + tn
+        return (jnp.concatenate([R_new, t_new[:, None]], 1),
+                new_gate_p, new_gate_l)
+
+    Rt, gp, gl = jax.lax.fori_loop(0, total_iters, body,
+                                   (pose0, valid, valid_l))
+    _, _, chi2 = point_part(Rt)
+    chi2_l, _ = line_chi2(Rt)
+    inl_p = valid & (chi2 < CHI2_MONO)
+    inl_l = valid_l & (chi2_l < CHI2_MONO)
+    return Rt, inl_p, inl_l, jnp.sum(inl_p) + jnp.sum(inl_l)
+
+
+def make_fast_pose_optimizer_pl(K: PinholeK, cap_pt: int, cap_ln: int,
+                                rounds: int = 4, iters: int = 3):
+    @jax.jit
+    def run(pose0, uv, X, valid, is2, l_obs, Xs, Xe, valid_l, is2_l):
+        return fast_pose_opt_pl(K, pose0, uv, X, valid, is2,
+                                l_obs, Xs, Xe, valid_l, is2_l,
+                                rounds, iters)
+    return run
+
+
+def make_line_projection_matcher(K: PinholeK, n_line_feat: int, cap_ln: int):
+    """Project map-line endpoints into the frame, gate candidate observed
+    segments by midpoint distance + angle, NN on LBD descriptors
+    (reference LineMatcher::SearchByProjection src/LineMatcher.cpp:274 +
+    the angle/position gates of Tracking src/Tracking.cc:3988-4061).
+
+    (pose [3,4], ln_ep [cap,6], ln_desc [cap,8]u32, ln_valid,
+     obs_ep [F,4], obs_desc [F,8]u32, obs_angle [F], obs_valid, radius)
+    -> (ln_feat [cap], matched [cap], l_obs_eq [cap,3])
+    """
+
+    @jax.jit
+    def run(pose, ln_ep, ln_desc, ln_valid, obs_ep, obs_desc, obs_angle,
+            obs_valid, obs_lineq, radius=40.0, angle_tol=0.25):
+        R, t = pose[:, :3], pose[:, 3]
+        Xs = ln_ep[:, :3]
+        Xe = ln_ep[:, 3:]
+        pcs = Xs @ R.T + t
+        pce = Xe @ R.T + t
+        zok = (pcs[:, 2] > 0.05) & (pce[:, 2] > 0.05)
+
+        def proj(pc):
+            z = jnp.maximum(pc[:, 2], 1e-4)
+            return jnp.stack([K.fx * pc[:, 0] / z + K.cx,
+                              K.fy * pc[:, 1] / z + K.cy], -1)
+
+        us = proj(pcs)
+        ue = proj(pce)
+        mid_pred = (us + ue) / 2
+        ang_pred = jnp.arctan2(ue[:, 1] - us[:, 1], ue[:, 0] - us[:, 0]) % jnp.pi
+        mid_obs = (obs_ep[:, :2] + obs_ep[:, 2:]) / 2
+        d2 = jnp.sum((mid_pred[:, None] - mid_obs[None, :]) ** 2, -1)
+        dang = jnp.abs(ang_pred[:, None] - obs_angle[None, :]) % jnp.pi
+        dang = jnp.minimum(dang, jnp.pi - dang)
+        gate = (d2 < radius ** 2) & (dang < angle_tol)
+        dist = M.hamming_matrix(M.unpack_u32_to_pm1(ln_desc),
+                                M.unpack_u32_to_pm1(obs_desc))
+        idx, ok = M.match_nn_ratio(dist, ln_valid & zok, obs_valid, gate,
+                                   max_dist=110.0, ratio=0.95, mutual=True)
+        l_eq = obs_lineq[idx]
+        return idx.astype(jnp.int32), ok, l_eq
+
+    return run
+
+
+def make_line_triangulator(K: PinholeK, cap: int):
+    """Triangulate matched segments between two KFs by interpretation-
+    plane intersection: endpoint rays of the segment in KF1 intersected
+    with the plane of the matched segment in KF2 (reference
+    LocalMapping::CreateNewMapLines endpoint back-projection,
+    src/LocalMapping.cc:1157-1280).
+
+    (pose1, pose2, ep1 [cap,4], ep2 [cap,4], valid)
+    -> (Xs_w [cap,3], Xe_w [cap,3], good [cap])
+    """
+
+    @jax.jit
+    def run(pose1, pose2, ep1, ep2, valid, max_depth=40.0):
+        R1, t1 = pose1[:, :3], pose1[:, 3]
+        R2, t2 = pose2[:, :3], pose2[:, 3]
+        C1 = -R1.T @ t1
+        C2 = -R2.T @ t2
+
+        def ray_w(Rc, uv):
+            xn = jnp.stack([(uv[:, 0] - K.cx) / K.fx,
+                            (uv[:, 1] - K.cy) / K.fy,
+                            jnp.ones(uv.shape[0])], -1)
+            d = xn @ Rc  # R^T @ xn per row
+            return d
+
+        # plane of segment 2 (through C2): normal = R2^T (r_s x r_e)
+        rs2 = jnp.stack([(ep2[:, 0] - K.cx) / K.fx,
+                         (ep2[:, 1] - K.cy) / K.fy,
+                         jnp.ones(cap)], -1)
+        re2 = jnp.stack([(ep2[:, 2] - K.cx) / K.fx,
+                         (ep2[:, 3] - K.cy) / K.fy,
+                         jnp.ones(cap)], -1)
+        n_c2 = jnp.cross(rs2, re2)
+        n_w = n_c2 @ R2  # R2^T n per row
+
+        def intersect(uv):
+            d = ray_w(R1, uv)
+            denom = jnp.sum(n_w * d, -1)
+            tt = jnp.sum(n_w * (C2 - C1), -1) / \
+                jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+            Xw = C1 + tt[:, None] * d
+            return Xw, tt
+
+        Xs_w, ts = intersect(ep1[:, :2])
+        Xe_w, te = intersect(ep1[:, 2:])
+
+        def depth_in(Rc, tc, Xw):
+            return (Xw @ Rc.T + tc)[:, 2]
+
+        z1s = depth_in(R1, t1, Xs_w)
+        z1e = depth_in(R1, t1, Xe_w)
+        z2s = depth_in(R2, t2, Xs_w)
+        z2e = depth_in(R2, t2, Xe_w)
+        good = valid & (z1s > 0.05) & (z1e > 0.05) & (z2s > 0.05) \
+            & (z2e > 0.05) & (z1s < max_depth) & (z1e < max_depth) \
+            & jnp.all(jnp.isfinite(Xs_w), -1) & jnp.all(jnp.isfinite(Xe_w), -1)
+        # degenerate when the two interpretation planes are near-parallel
+        d1 = ray_w(R1, (ep1[:, :2] + ep1[:, 2:]) / 2)
+        denom = jnp.abs(jnp.sum(n_w / jnp.maximum(
+            jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-9) * d1, -1))
+        good = good & (denom > 0.05)
+        # minimum 3D length sanity
+        seg_len = jnp.linalg.norm(Xe_w - Xs_w, axis=-1)
+        good = good & (seg_len > 0.05) & (seg_len < 20.0)
+        return Xs_w, Xe_w, good
+
+    return run
+
+
+def make_line_pair_matcher(n_line_feat: int):
+    """Match line observations between two keyframes: LBD Hamming NN
+    gated by angle consistency + midpoint window (reference
+    LineMatcher::SearchForTriangulation src/LineMatcher.cpp:142 +
+    matchGrid :191).
+
+    (ep1 [F,4], d1 [F,8], ang1, ok1, ep2 [F,4], d2 [F,8], ang2, ok2)
+    -> (idx2 [F], ok [F])
+    """
+
+    @jax.jit
+    def run(ep1, d1, ang1, ok1, ep2, d2, ang2, ok2,
+            radius=80.0, angle_tol=0.25):
+        mid1 = (ep1[:, :2] + ep1[:, 2:]) / 2
+        mid2 = (ep2[:, :2] + ep2[:, 2:]) / 2
+        d2m = jnp.sum((mid1[:, None] - mid2[None, :]) ** 2, -1)
+        dang = jnp.abs(ang1[:, None] - ang2[None, :]) % jnp.pi
+        dang = jnp.minimum(dang, jnp.pi - dang)
+        # length ratio gate
+        len1 = jnp.linalg.norm(ep1[:, 2:] - ep1[:, :2], axis=-1)
+        len2 = jnp.linalg.norm(ep2[:, 2:] - ep2[:, :2], axis=-1)
+        lr = len1[:, None] / jnp.maximum(len2[None, :], 1e-6)
+        gate = (d2m < radius ** 2) & (dang < angle_tol) \
+            & (lr > 0.5) & (lr < 2.0)
+        dist = M.hamming_matrix(M.unpack_u32_to_pm1(d1),
+                                M.unpack_u32_to_pm1(d2))
+        idx, ok = M.match_nn_ratio(dist, ok1, ok2, gate, max_dist=110.0,
+                                   ratio=0.95, mutual=True)
+        return idx.astype(jnp.int32), ok
+
+    return run
+
+
+def make_local_ba_pl(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
+                     n_ln: int, n_lobs: int, rounds: int = 2,
+                     iters: int = 8):
+    """Local BA over points AND line-endpoint landmarks (reference
+    LocalBundleAdjustmentwithLine, src/Optimizer.cc:4385): adds a 6-DoF
+    line family with endpoint-to-line residuals, Schur-eliminated like
+    points.
+
+    Extra inputs vs make_local_ba:
+      ln_ep [n_ln,6], ln_free, lobs_kf [n_lobs], lobs_ln [n_lobs],
+      lobs_eq [n_lobs,3], lobs_valid, lobs_is2
+    """
+
+    @jax.jit
+    def run(kf_poses, kf_free, pt_xyz, pt_free, obs_kf, obs_pt, obs_uv,
+            obs_valid, obs_is2, ln_ep, ln_free, lobs_kf, lobs_ln,
+            lobs_eq, lobs_valid, lobs_is2):
+        states = {"pose": kf_poses, "pt": pt_xyz, "ln": ln_ep}
+        mask = obs_valid
+        mask_l = lobs_valid
+        for _ in range(rounds):
+            prob = E.Problem()
+            prob.add_dense("pose", n_kf, 6, RES.retract_pose_cw)
+            prob.add_landmarks("pt", n_pt, 3, RES.retract_additive)
+            prob.add_landmarks("ln", n_ln, 6, RES.retract_additive)
+            prob.add_term(E.Term(
+                name="reproj", res_fn=RES.make_point_reproj(K), rdim=2,
+                dense_refs=[("pose", obs_kf)], lm_ref=("pt", obs_pt),
+                const={"uv": obs_uv}, mask=mask, info=obs_is2,
+                robust_delta=float(np.sqrt(CHI2_MONO))))
+            prob.add_term(E.Term(
+                name="line", res_fn=RES.make_line_reproj(K), rdim=2,
+                dense_refs=[("pose", lobs_kf)], lm_ref=("ln", lobs_ln),
+                const={"l": lobs_eq}, mask=mask_l, info=lobs_is2,
+                robust_delta=float(np.sqrt(CHI2_MONO))))
+            states, _, chi2s = E.optimize(
+                prob, states, iters=iters,
+                dense_free_mask={"pose": kf_free},
+                lm_free_mask={"pt": pt_free, "ln": ln_free})
+            mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)
+            mask_l = lobs_valid & (chi2s["line"] < CHI2_MONO)
+        return (states["pose"], states["pt"], states["ln"], mask, mask_l)
+
+    return run
+
+
 def make_pose_optimizer_pl(K: PinholeK, cap_pt: int, cap_ln: int,
                            rounds: int = 4, iters: int = 10,
                            chi2_line: float = CHI2_MONO):

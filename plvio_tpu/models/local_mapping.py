@@ -46,6 +46,20 @@ class LocalMapper:
             self.K, ba_kf_cap, ba_pt_cap, ba_obs_cap)
         self.recent_pts: List[np.ndarray] = []  # per-KF batches for culling
 
+        # line machinery
+        self.use_lines = cfg.use_lines
+        if self.use_lines:
+            nl = 256
+            self.n_line_feat = nl
+            self.ba_ln_cap = 512
+            self.ba_lobs_cap = 1024
+            self.line_pair_match = KN.make_line_pair_matcher(nl)
+            self.line_triangulate = KN.make_line_triangulator(self.K, nl)
+            self.local_ba_pl_kernel = KN.make_local_ba_pl(
+                self.K, ba_kf_cap, ba_pt_cap, ba_obs_cap,
+                self.ba_ln_cap, self.ba_lobs_cap)
+            self.recent_lns: List[np.ndarray] = []
+
         # inertial machinery
         self.use_imu = cfg.sensor in (3, 4)
         self.imu_init_cap = imu_init_cap
@@ -75,6 +89,9 @@ class LocalMapper:
     def process_keyframe(self, kf: int) -> None:
         self.cull_points()
         self.create_new_points(kf)
+        if self.use_lines:
+            self.cull_lines()
+            self.create_new_lines(kf)
         if self.use_imu and not self.map.imu_initialized:
             self.maybe_initialize_imu()
         import os
@@ -172,6 +189,82 @@ class LocalMapper:
             self.recent_pts.append(np.concatenate(created))
             m.update_covisibility(kf)
 
+    def cull_lines(self) -> None:
+        """Map-line culling (reference MapLineCulling,
+        src/LocalMapping.cc:687 — same found-ratio rule as points)."""
+        m = self.map
+        if len(self.recent_lns) < 3:
+            return
+        batch = self.recent_lns.pop(0)
+        batch = batch[m.ln_valid[batch]]
+        if len(batch) == 0:
+            return
+        ratio = m.ln_found[batch] / np.maximum(m.ln_visible[batch], 1)
+        bad = (ratio < 0.25) | (m.ln_n_obs[batch] < 2)
+        if bad.any():
+            m.remove_line(batch[bad])
+
+    def create_new_lines(self, kf: int) -> None:
+        """Triangulate unmatched line observations of `kf` against the
+        best covisible KFs via interpretation-plane intersection
+        (reference CreateNewMapLines, src/LocalMapping.cc:1069)."""
+        m = self.map
+        neighbors = m.covisible_kfs(kf, n=5, min_weight=5)
+        created = []
+
+        def angles(ep):
+            return np.arctan2(ep[:, 3] - ep[:, 1],
+                              ep[:, 2] - ep[:, 0]) % np.pi
+
+        ep_k = m.kf_line_ep[kf]
+        ang_k = angles(ep_k)
+        for nb in neighbors:
+            if not m.kf_valid[nb]:
+                continue
+            free_k = m.kf_line_valid[kf] & (m.kf_match_ln[kf] == INVALID)
+            free_n = m.kf_line_valid[nb] & (m.kf_match_ln[nb] == INVALID)
+            if free_k.sum() == 0 or free_n.sum() == 0:
+                continue
+            ep_n = m.kf_line_ep[nb]
+            idx_k, ok = self.line_pair_match(
+                jnp.asarray(ep_n), jnp.asarray(m.kf_line_desc[nb]),
+                jnp.asarray(angles(ep_n), jnp.float32), jnp.asarray(free_n),
+                jnp.asarray(ep_k), jnp.asarray(m.kf_line_desc[kf]),
+                jnp.asarray(ang_k, jnp.float32), jnp.asarray(free_k))
+            ok_np = np.asarray(ok)
+            if ok_np.sum() == 0:
+                continue
+            idx_np = np.asarray(idx_k)
+            ep2 = ep_k[idx_np]
+            Xs_w, Xe_w, good = self.line_triangulate(
+                jnp.asarray(m.kf_pose_cw[nb]), jnp.asarray(m.kf_pose_cw[kf]),
+                jnp.asarray(ep_n), jnp.asarray(ep2), ok)
+            good_np = np.asarray(good)
+            if good_np.sum() == 0:
+                continue
+            f1 = np.nonzero(good_np)[0]
+            f2 = idx_np[good_np]
+            fresh = m.kf_match_ln[kf][f2] == INVALID
+            f1, f2 = f1[fresh], f2[fresh]
+            if len(f1) == 0:
+                continue
+            lns = m.alloc_lines(len(f1))
+            nn = len(lns)
+            f1, f2 = f1[:nn], f2[:nn]
+            Xs_np = np.asarray(Xs_w)
+            Xe_np = np.asarray(Xe_w)
+            m.ln_ep[lns] = np.concatenate([Xs_np[f1], Xe_np[f1]], -1)
+            m.ln_desc[lns] = m.kf_line_desc[kf][f2]
+            m.ln_first_kf[lns] = kf
+            m.ln_n_obs[lns] = 2
+            m.ln_found[lns] = 2
+            m.ln_visible[lns] = 2
+            m.kf_match_ln[nb, f1] = lns
+            m.kf_match_ln[kf, f2] = lns
+            created.append(lns)
+        if created:
+            self.recent_lns.append(np.concatenate(created))
+
     def _median_depth(self, kf: int) -> float:
         m = self.map
         pts = m.kf_match_pt[kf]
@@ -255,14 +348,68 @@ class LocalMapper:
         pt_free = np.zeros(self.ba_pt_cap, bool)
         pt_free[:len(pt_ids)] = True
 
-        new_poses, new_pts, inlier = self.local_ba_kernel(
-            jnp.asarray(kf_poses), jnp.asarray(free_mask),
-            jnp.asarray(pt_xyz), jnp.asarray(pt_free),
-            jnp.asarray(pad(obs_kf, self.ba_obs_cap)),
-            jnp.asarray(pad(obs_pt, self.ba_obs_cap)),
-            jnp.asarray(pad(obs_uv, self.ba_obs_cap)),
-            jnp.asarray(pad(np.ones(n_obs, bool), self.ba_obs_cap, False)),
-            jnp.asarray(pad(obs_is2.astype(np.float32), self.ba_obs_cap)))
+        ln_ids = np.zeros(0, np.int32)
+        use_pl = False
+        if self.use_lines:
+            ln_ids = np.unique(m.kf_match_ln[window])
+            ln_ids = ln_ids[ln_ids >= 0]
+            ln_ids = ln_ids[m.ln_valid[ln_ids]][:self.ba_ln_cap]
+            use_pl = len(ln_ids) >= 8
+        if use_pl:
+            ln_slot = np.full(m.max_lines, -1, np.int32)
+            ln_slot[ln_ids] = np.arange(len(ln_ids))
+            lobs_kf, lobs_ln, lobs_eq = [], [], []
+            for s, kfi in enumerate(slots):
+                match = m.kf_match_ln[kfi]
+                feat = np.nonzero((match >= 0) & np.isin(match, ln_ids))[0]
+                if len(feat) == 0:
+                    continue
+                lobs_kf.append(np.full(len(feat), s, np.int32))
+                lobs_ln.append(ln_slot[match[feat]])
+                ep = m.kf_line_ep[kfi, feat]
+                sp = np.concatenate([ep[:, :2], np.ones((len(ep), 1))], 1)
+                e_ = np.concatenate([ep[:, 2:], np.ones((len(ep), 1))], 1)
+                l = np.cross(sp, e_)
+                l /= np.maximum(np.linalg.norm(l[:, :2], axis=1,
+                                               keepdims=True), 1e-9)
+                lobs_eq.append(l.astype(np.float32))
+            lobs_kf = np.concatenate(lobs_kf)[:self.ba_lobs_cap]
+            lobs_ln = np.concatenate(lobs_ln)[:self.ba_lobs_cap]
+            lobs_eq = np.concatenate(lobs_eq)[:self.ba_lobs_cap]
+            n_lobs = len(lobs_kf)
+            ln_ep6 = np.zeros((self.ba_ln_cap, 6), np.float32)
+            ln_ep6[:len(ln_ids)] = m.ln_ep[ln_ids]
+            ln_free = np.zeros(self.ba_ln_cap, bool)
+            ln_free[:len(ln_ids)] = True
+            (new_poses, new_pts, new_lns, inlier, inlier_l) = \
+                self.local_ba_pl_kernel(
+                    jnp.asarray(kf_poses), jnp.asarray(free_mask),
+                    jnp.asarray(pt_xyz), jnp.asarray(pt_free),
+                    jnp.asarray(pad(obs_kf, self.ba_obs_cap)),
+                    jnp.asarray(pad(obs_pt, self.ba_obs_cap)),
+                    jnp.asarray(pad(obs_uv, self.ba_obs_cap)),
+                    jnp.asarray(pad(np.ones(n_obs, bool), self.ba_obs_cap,
+                                    False)),
+                    jnp.asarray(pad(obs_is2.astype(np.float32),
+                                    self.ba_obs_cap)),
+                    jnp.asarray(ln_ep6), jnp.asarray(ln_free),
+                    jnp.asarray(pad(lobs_kf, self.ba_lobs_cap)),
+                    jnp.asarray(pad(lobs_ln, self.ba_lobs_cap)),
+                    jnp.asarray(pad(lobs_eq, self.ba_lobs_cap)),
+                    jnp.asarray(pad(np.ones(n_lobs, bool), self.ba_lobs_cap,
+                                    False)),
+                    jnp.asarray(pad(np.ones(n_lobs, np.float32),
+                                    self.ba_lobs_cap)))
+            m.ln_ep[ln_ids] = np.asarray(new_lns)[:len(ln_ids)]
+        else:
+            new_poses, new_pts, inlier = self.local_ba_kernel(
+                jnp.asarray(kf_poses), jnp.asarray(free_mask),
+                jnp.asarray(pt_xyz), jnp.asarray(pt_free),
+                jnp.asarray(pad(obs_kf, self.ba_obs_cap)),
+                jnp.asarray(pad(obs_pt, self.ba_obs_cap)),
+                jnp.asarray(pad(obs_uv, self.ba_obs_cap)),
+                jnp.asarray(pad(np.ones(n_obs, bool), self.ba_obs_cap, False)),
+                jnp.asarray(pad(obs_is2.astype(np.float32), self.ba_obs_cap)))
 
         new_poses = np.asarray(new_poses)
         new_pts = np.asarray(new_pts)

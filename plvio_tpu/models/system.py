@@ -57,6 +57,12 @@ class System:
             max_kf=cfg.map.max_keyframes, max_pts=cfg.map.max_points,
             max_lines=cfg.map.max_lines, n_feat=self.n_feat)
 
+        self.extract_lines = None
+        if cfg.use_lines:
+            from ..ops import lines as LN
+            self.extract_lines = LN.make_line_extractor(
+                cam.height, cam.width, max_lines=256)
+
         self.tracker = Tracker(cfg, self.atlas, self.n_feat)
         self.mapper = LocalMapper(cfg, self.atlas, self.n_feat)
 
@@ -76,11 +82,22 @@ class System:
         src/System.cc:560).  img: [H,W] grayscale float32/uint8;
         imu: optional (gyro [k,3], acc [k,3], dt [k]) batch of samples
         since the previous frame."""
-        feats = self.extract(jnp.asarray(img, jnp.float32))
+        img_dev = jnp.asarray(img, jnp.float32)
+        feats = self.extract(img_dev)
         # undistort keypoint coordinates once per frame
         und = CAM.undistort_pixels(self.camera, feats.uv)
         feats = feats._replace(uv_und=und)
-        pose = self.tracker.process_frame(feats, timestamp, imu=imu)
+        line_feats = None
+        if self.extract_lines is not None:
+            lf = self.extract_lines(img_dev)
+            # undistort endpoints, refresh the 2D line equations
+            sp = CAM.undistort_pixels(self.camera, lf.ep[:, :2])
+            ep = CAM.undistort_pixels(self.camera, lf.ep[:, 2:])
+            ep4 = jnp.concatenate([sp, ep], -1)
+            from ..ops import lines as LN
+            line_feats = lf._replace(ep=ep4, lineq=LN.line_equation(ep4))
+        pose = self.tracker.process_frame(feats, timestamp, imu=imu,
+                                          line_feats=line_feats)
         self._drain_keyframes()
         # IMU init re-expressed the map: bring the tracker's frame state
         # into the new gravity-aligned metric frame

@@ -69,6 +69,19 @@ class Tracker:
         self.pose_opt = KN.make_pose_optimizer(self.K, local_pts_cap)
         self.proj_match = KN.make_projection_matcher(self.K, n_feat, local_pts_cap)
 
+        # line machinery (SLAM modes with lines, reference TrackWithLines)
+        self.use_lines = cfg.use_lines
+        self.local_ln_cap = 256
+        self.n_line_feat = cfg.line.max_raw_segments if hasattr(cfg.line, 'max_raw_segments') else 256
+        if self.use_lines:
+            self.n_line_feat = 256
+            self.line_proj_match = KN.make_line_projection_matcher(
+                self.K, self.n_line_feat, self.local_ln_cap)
+            self.pose_opt_pl = KN.make_fast_pose_optimizer_pl(
+                self.K, local_pts_cap, self.local_ln_cap)
+        self.last_line_feats = None
+        self.last_feat_ln = None
+
         # inertial machinery (used when sensor has IMU)
         self.use_imu = cfg.sensor in (3, 4)  # IMU_MONOCULAR / IMU_STEREO
         from ..ops import imu as IMUOPS
@@ -149,11 +162,14 @@ class Tracker:
             jnp.asarray(bg, jnp.float32), jnp.asarray(ba, jnp.float32))
 
     def process_frame(self, feats: Features, timestamp: float,
-                      imu: Optional[tuple] = None) -> Optional[np.ndarray]:
+                      imu: Optional[tuple] = None,
+                      line_feats=None) -> Optional[np.ndarray]:
         """Returns T_cw [3,4] or None while not tracking.  `imu` is an
-        optional (gyro [k,3], acc [k,3], dt [k]) batch since last frame."""
+        optional (gyro [k,3], acc [k,3], dt [k]) batch since last frame;
+        `line_feats` an optional ops.lines.LineFeatures."""
         self.frame_idx += 1
         self._frame_imu = None
+        self._frame_lines = line_feats
         if self.use_imu and imu is not None:
             self.grab_imu(*imu)
             self._frame_imu = imu
@@ -200,6 +216,7 @@ class Tracker:
             n_valid = int(np.asarray(feats.valid).sum())
             if n_valid > 100:
                 self.init_feats = feats
+                self.init_line_feats = self._frame_lines
                 self.init_timestamp = timestamp
                 self.state = TrackState.NOT_INITIALIZED
                 self.imu_since_kf = []  # IMU window starts at the init frame
@@ -213,6 +230,7 @@ class Tracker:
         n_matches = int(ok.sum())
         if n_matches < 80:
             self.init_feats = feats  # slide the window forward
+            self.init_line_feats = self._frame_lines
             self.init_timestamp = timestamp
             self.imu_since_kf = []
             return
@@ -248,8 +266,8 @@ class Tracker:
             [np.asarray(res.R), t10[:, None]], 1).astype(np.float32)
         m.kf_prev[kf1] = kf0
         m.kf_next[kf0] = kf1
-        for kf, f in ((kf0, f0), (kf1, f1)):
-            self._store_kf_features(kf, f)
+        self._store_kf_features(kf0, f0, getattr(self, "init_line_feats", None))
+        self._store_kf_features(kf1, f1, self._frame_lines)
 
         pts = m.alloc_points(tri.sum())
         m.pt_xyz[pts] = X.astype(np.float32)
@@ -284,7 +302,8 @@ class Tracker:
         self.new_kf_queue += [kf0, kf1]
         self.frames.append(self._make_record(timestamp))
 
-    def _store_kf_features(self, kf: int, f: Features) -> None:
+    def _store_kf_features(self, kf: int, f: Features,
+                           lf=None) -> None:
         m = self.map
         n = min(self.n_feat, f.uv.shape[0])
         m.kf_feat_uv[kf, :n] = np.asarray(f.uv_und)[:n]
@@ -292,6 +311,11 @@ class Tracker:
         m.kf_feat_angle[kf, :n] = np.asarray(f.angle)[:n]
         m.kf_feat_desc[kf, :n] = np.asarray(M.pack_bits_u32(f.desc))[:n]
         m.kf_feat_valid[kf, :n] = np.asarray(f.valid)[:n]
+        if lf is not None:
+            nl = min(m.n_line_feat, lf.ep.shape[0])
+            m.kf_line_ep[kf, :nl] = np.asarray(lf.ep)[:nl]
+            m.kf_line_desc[kf, :nl] = np.asarray(M.pack_bits_u32(lf.desc))[:nl]
+            m.kf_line_valid[kf, :nl] = np.asarray(lf.valid)[:nl]
 
     # ------------------------------------------------------------------
     # Body <-> camera pose conversion (Tbc maps camera->body)
@@ -350,6 +374,17 @@ class Tracker:
         R = R_v @ R_l
         t = R_v @ t_l + t_v
         return np.concatenate([R, t[:, None]], 1)
+
+    def _gather_local_lines(self):
+        """Local map lines from the covisibility neighborhood (reference
+        UpdateLocalPointsAndLines, src/Tracking.cc:5354)."""
+        m = self.map
+        kfs = m.covisible_kfs(self.ref_kf, n=10, min_weight=5)
+        kfs = np.concatenate([[self.ref_kf], kfs])
+        ids = m.local_map_lines(kfs, self.local_ln_cap)
+        live = ids >= 0
+        safe = np.clip(ids, 0, m.max_lines - 1)
+        return ids, live & m.ln_valid[safe], (m.ln_ep[safe], m.ln_desc[safe])
 
     def _gather_local_points(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Local map = points of ref KF's covisibility neighborhood
@@ -439,6 +474,28 @@ class Tracker:
             self.frame_bg = np.asarray(bg)
             self.frame_ba = np.asarray(ba)
             pose = jnp.asarray(pose)
+        elif self.use_lines and self._frame_lines is not None:
+            lf = self._frame_lines
+            ln_ids, ln_live, (ln_ep6, ln_desc) = self._gather_local_lines()
+            obs_desc = M.pack_bits_u32(lf.desc)
+            ln_feat_idx, ln_matched, l_eq = self.line_proj_match(
+                jnp.asarray(pose_pred), jnp.asarray(ln_ep6),
+                jnp.asarray(ln_desc), jnp.asarray(ln_live),
+                lf.ep, obs_desc, lf.angle, lf.valid, lf.lineq)
+            pose, inlier, inl_l, n_inl = self.pose_opt_pl(
+                jnp.asarray(pose_pred), uv_m, jnp.asarray(xyz), matched, is2,
+                l_eq, jnp.asarray(ln_ep6[:, :3]), jnp.asarray(ln_ep6[:, 3:]),
+                ln_matched, jnp.ones(self.local_ln_cap, jnp.float32))
+            # line bookkeeping: map observed line feature -> map line id
+            inl_l_np = np.asarray(inl_l)
+            ln_feat_np = np.asarray(ln_feat_idx)
+            feat_ln = np.full(self.n_line_feat, INVALID, np.int32)
+            good_l = np.nonzero(inl_l_np)[0]
+            feat_ln[ln_feat_np[good_l]] = ln_ids[good_l]
+            self.last_feat_ln = feat_ln
+            self.last_line_feats = lf
+            m.ln_visible[ln_ids[ln_live]] += 1
+            m.ln_found[ln_ids[good_l]] += 1
         else:
             pose, inlier, n_inl = self.pose_opt(
                 jnp.asarray(pose_pred), uv_m, jnp.asarray(xyz), matched, is2)
@@ -489,13 +546,18 @@ class Tracker:
         kf = m.alloc_kf()
         m.kf_timestamp[kf] = timestamp
         m.kf_pose_cw[kf] = self.last_pose_cw.astype(np.float32)
-        self._store_kf_features(kf, feats)
+        self._store_kf_features(kf, feats, self._frame_lines)
         prev = self.ref_kf
         m.kf_prev[kf] = prev
         m.kf_next[prev] = kf
         matched = self.last_feat_pt >= 0
         m.kf_match_pt[kf] = np.where(matched, self.last_feat_pt, INVALID)
         m.pt_n_obs[self.last_feat_pt[matched]] += 1
+        if self.use_lines and self.last_feat_ln is not None \
+                and self.last_line_feats is self._frame_lines:
+            lm = self.last_feat_ln >= 0
+            m.kf_match_ln[kf] = np.where(lm, self.last_feat_ln, INVALID)
+            m.ln_n_obs[self.last_feat_ln[lm]] += 1
         m.update_covisibility(kf)
         if self.use_imu:
             self._store_kf_inertial(kf)

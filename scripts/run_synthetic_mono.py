@@ -48,7 +48,7 @@ def main(n_frames: int = 80, verbose: bool = True):
     q = np.asarray(lie.rot_to_quat(jnp.asarray(traj.R_wb, jnp.float32)))
     gt = TIO.Trajectory(traj.timestamps, traj.p_wb, q)
     ate = TIO.ate_rmse(est, gt, with_scale=True)
-    print(f"\nframes tracked: {n_ok}/{n_frames}")
+    print(f"\nframes tracked: {n_ok}/{n_frames}; map lines: {slam.atlas.current.n_ln}")
     print(f"ATE RMSE (Sim3-aligned): {ate:.4f} m")
     print(f"wall: {dt:.1f}s ({n_frames/dt:.1f} fps incl. host render)")
     return ate
