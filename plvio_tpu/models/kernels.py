@@ -51,6 +51,35 @@ class TrackResult(NamedTuple):
     n_inliers: jnp.ndarray   # int32
 
 
+
+def solve_spd_cg(H: jnp.ndarray, g: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+    """Solve H x = g for small SPD H with fixed-iteration conjugate
+    gradients — pure arithmetic, exact for 6x6 within <=6 Krylov steps.
+
+    Used instead of cho_solve inside fori_loop bodies: LAPACK-style
+    factorizations in device loops compile pathologically (20+ min /
+    miscompile) on the experimental axon TPU backend, while CG is plain
+    VPU math everywhere.
+    """
+    x = jnp.zeros_like(g)
+    r = g
+    pvec = r
+    rs = jnp.dot(r, r)
+
+    def body(_, carry):
+        x, r, pvec, rs = carry
+        Hp = H @ pvec
+        alpha = rs / jnp.maximum(jnp.dot(pvec, Hp), 1e-20)
+        x = x + alpha * pvec
+        r = r - alpha * Hp
+        rs_new = jnp.dot(r, r)
+        beta = rs_new / jnp.maximum(rs, 1e-20)
+        pvec = r + beta * pvec
+        return x, r, pvec, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, pvec, rs))
+    return x
+
 def make_pose_optimizer(K: PinholeK, cap: int, rounds: int = 4,
                         iters: int = 3):
     """Pose-only IRLS with closed-form Jacobians, fully fused.
@@ -94,12 +123,15 @@ def fast_pose_opt(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
     def body(i, carry):
         Rt, gate = carry
         r, pc, chi2 = compute_chi2(Rt)
-        # re-gate at round boundaries (fixed schedule, branchless)
-        round_start = (i % iters) == 0
-        new_gate = jnp.where(round_start & (i > 0),
-                             valid & (chi2 < CHI2_MONO), gate)
+        # re-gate at round boundaries (fixed schedule, branchless).
+        # NOTE: gate is carried as float32 — a bool array in a fori_loop
+        # carry miscompiles on the experimental axon TPU backend (the
+        # loop silently returns its initial carry).
+        round_start = ((i % iters) == 0) & (i > 0)
+        fresh = (valid & (chi2 < CHI2_MONO)).astype(jnp.float32)
+        new_gate = jnp.where(round_start, fresh, gate)
         w_h = jnp.minimum(1.0, delta / jnp.sqrt(jnp.maximum(chi2, 1e-12)))
-        w = (new_gate & (pc[:, 2] > 0.05)).astype(jnp.float32) \
+        w = new_gate * (pc[:, 2] > 0.05).astype(jnp.float32) \
             * w_h * inv_sigma2
         z = jnp.maximum(pc[:, 2], 1e-4)
         inv_z = 1.0 / z
@@ -119,14 +151,14 @@ def fast_pose_opt(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
         H = jnp.einsum("ndi,ndj->ij", Jw, J)
         g = jnp.einsum("ndi,nd->i", Jw, r)
         H = H + jnp.diag(jnp.diagonal(H)) * 1e-3 + jnp.eye(6) * 1e-6
-        dx = -jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(H, lower=True), g)
+        dx = -solve_spd_cg(H, g)
         Rn, tn = lie.se3_exp(dx)
         R_new = lie.so3_normalize(Rn @ Rt[:, :3])
         t_new = Rn @ Rt[:, 3] + tn
         return jnp.concatenate([R_new, t_new[:, None]], 1), new_gate
 
-    Rt, gate = jax.lax.fori_loop(0, total_iters, body, (pose0, valid))
+    Rt, gate = jax.lax.fori_loop(
+        0, total_iters, body, (pose0, valid.astype(jnp.float32)))
     _, _, chi2 = compute_chi2(Rt)
     inlier = valid & (chi2 < CHI2_MONO)
     return Rt, inlier, jnp.sum(inlier)
@@ -187,14 +219,18 @@ def fast_pose_opt_pl(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
         Rt, gate_p, gate_l = carry
         r, pc, chi2 = point_part(Rt)
         chi2_l, depth_ok = line_chi2(Rt)
-        round_start = (i % iters) == 0
-        new_gate_p = jnp.where(round_start & (i > 0),
-                               valid & (chi2 < CHI2_MONO), gate_p)
-        new_gate_l = jnp.where(round_start & (i > 0),
-                               valid_l & (chi2_l < CHI2_MONO), gate_l)
+        # float gates in the carry (see fast_pose_opt: bool carries
+        # miscompile on axon)
+        round_start = ((i % iters) == 0) & (i > 0)
+        new_gate_p = jnp.where(round_start,
+                               (valid & (chi2 < CHI2_MONO)).astype(jnp.float32),
+                               gate_p)
+        new_gate_l = jnp.where(round_start,
+                               (valid_l & (chi2_l < CHI2_MONO)).astype(jnp.float32),
+                               gate_l)
         # points
         w_h = jnp.minimum(1.0, delta / jnp.sqrt(jnp.maximum(chi2, 1e-12)))
-        w = (new_gate_p & (pc[:, 2] > 0.05)).astype(jnp.float32) * w_h * inv_sigma2
+        w = new_gate_p * (pc[:, 2] > 0.05).astype(jnp.float32) * w_h * inv_sigma2
         z = jnp.maximum(pc[:, 2], 1e-4)
         inv_z = 1.0 / z
         zero = jnp.zeros_like(z)
@@ -212,23 +248,23 @@ def fast_pose_opt_pl(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
         g = jnp.einsum("ndi,nd->i", Jw, r)
         # lines (both endpoints)
         wl_h = jnp.minimum(1.0, delta / jnp.sqrt(jnp.maximum(chi2_l, 1e-12)))
-        wl = (new_gate_l & depth_ok).astype(jnp.float32) * wl_h * is2_l * w_line
+        wl = new_gate_l * depth_ok.astype(jnp.float32) * wl_h * is2_l * w_line
         for Xep in (Xs, Xe):
             rl, Jl, _ = line_endpoint(Rt, Xep)
             Jlw = Jl * wl[:, None]
             H = H + jnp.einsum("ni,nj->ij", Jlw, Jl)
             g = g + jnp.einsum("ni,n->i", Jlw, rl)
         H = H + jnp.diag(jnp.diagonal(H)) * 1e-3 + jnp.eye(6) * 1e-6
-        dx = -jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(H, lower=True), g)
+        dx = -solve_spd_cg(H, g)
         Rn, tn = lie.se3_exp(dx)
         R_new = lie.so3_normalize(Rn @ Rt[:, :3])
         t_new = Rn @ Rt[:, 3] + tn
         return (jnp.concatenate([R_new, t_new[:, None]], 1),
                 new_gate_p, new_gate_l)
 
-    Rt, gp, gl = jax.lax.fori_loop(0, total_iters, body,
-                                   (pose0, valid, valid_l))
+    Rt, gp, gl = jax.lax.fori_loop(
+        0, total_iters, body,
+        (pose0, valid.astype(jnp.float32), valid_l.astype(jnp.float32)))
     _, _, chi2 = point_part(Rt)
     chi2_l, _ = line_chi2(Rt)
     inl_p = valid & (chi2 < CHI2_MONO)
@@ -356,6 +392,35 @@ def make_line_triangulator(K: PinholeK, cap: int):
         seg_len = jnp.linalg.norm(Xe_w - Xs_w, axis=-1)
         good = good & (seg_len > 0.05) & (seg_len < 20.0)
         return Xs_w, Xe_w, good
+
+    return run
+
+
+def make_pose_graph_optimizer(n_kf: int, n_edges: int, iters: int = 15):
+    """Essential-graph Sim3 optimization (reference
+    Optimizer::OptimizeEssentialGraph, src/Optimizer.cc:6952): per-KF
+    Sim3 states S_iw, edges measuring relative similarities (spanning
+    tree + covisibility + loop edges), loop-side and fixed KFs held.
+
+    run(sim3_states [n_kf,13], kf_free [n_kf], edge_i [n_edges],
+        edge_j [n_edges], edge_Rji [n_edges,3,3], edge_tji [n_edges,3],
+        edge_sji [n_edges], edge_valid [n_edges], edge_info [n_edges])
+    -> sim3_states
+    """
+
+    @jax.jit
+    def run(states13, kf_free, edge_i, edge_j, Rji, tji, sji,
+            edge_valid, edge_info):
+        prob = E.Problem()
+        prob.add_dense("sim3", n_kf, 7, RES.retract_sim3)
+        prob.add_term(E.Term(
+            name="sim3", res_fn=RES.sim3_edge, rdim=7,
+            dense_refs=[("sim3", edge_i), ("sim3", edge_j)],
+            const={"Rji": Rji, "tji": tji, "sji": sji},
+            mask=edge_valid, info=edge_info))
+        out, _, _ = E.optimize(prob, {"sim3": states13}, iters=iters,
+                               dense_free_mask={"sim3": kf_free})
+        return out["sim3"]
 
     return run
 

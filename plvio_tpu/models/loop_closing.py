@@ -1,0 +1,291 @@
+"""Loop closing: detection, Sim3 verification, correction, pose graph.
+
+Re-design of `LoopClosing` (reference: src/LoopClosing.cc, 4246 LoC):
+per new keyframe — BoW candidate retrieval excluding the covisible group,
+temporal consistency voting, Sim3 RANSAC verification on matched map
+points, then CorrectLoop: propagate the correcting similarity over the
+current covisible window, fuse duplicated points, optimize the essential
+graph (Sim3 pose graph over spanning-tree + covisibility + loop edges),
+and run a global BA (reference: NewDetectCommonRegions :460,
+DetectCommonRegionsFromBoW :756, CorrectLoopWithLines :1212,
+RunGlobalBundleAdjustmentWithLines :3685).
+
+Atlas map MERGE (reference MergeLocal :2448) reuses the same machinery:
+when the candidate lives in another map, the correcting Sim3 re-expresses
+the current (smaller) map into the candidate map's frame and the two
+stores are concatenated.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SystemConfig
+from ..ops import matching as M
+from ..ops import pnp as PNP
+from ..solver.residuals import PinholeK
+from ..utils import lie
+from . import kernels as KN
+from .kfdb import KeyFrameDatabase
+from .mapstore import Atlas, MapStore, INVALID
+
+
+class LoopCloser:
+    def __init__(self, cfg: SystemConfig, atlas: Atlas,
+                 kfdb: KeyFrameDatabase, n_feat: int,
+                 pg_kf_cap: int = 512, pg_edge_cap: int = 4096,
+                 gba_obs_cap: int = 32768):
+        self.cfg = cfg
+        self.atlas = atlas
+        self.kfdb = kfdb
+        self.n_feat = n_feat
+        cam = cfg.camera
+        self.K = PinholeK(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+        self.pg_kf_cap = pg_kf_cap
+        self.pg_edge_cap = pg_edge_cap
+        self.pose_graph = KN.make_pose_graph_optimizer(pg_kf_cap, pg_edge_cap)
+        # GBA reuses the local-BA kernel at global capacities
+        self.gba_kernel = None  # built lazily (big compile)
+        self._gba_caps = (64, 16384, gba_obs_cap)
+        self.consistency: List[tuple] = []   # (candidate_group, votes)
+        self._key = jax.random.PRNGKey(cfg.seed + 7)
+        self.n_loops_closed = 0
+
+    @property
+    def map(self) -> MapStore:
+        return self.atlas.current
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kf: int) -> bool:
+        """Returns True if a loop was closed."""
+        m = self.map
+        if m.n_kf < 12:   # reference guard (src/LoopClosing.cc:473)
+            return False
+        cand = self._detect(kf)
+        if cand is None:
+            return False
+        ok, s, R, t = self._verify_sim3(kf, cand)
+        if not ok:
+            return False
+        self._correct_loop(kf, cand, s, R, t)
+        self.n_loops_closed += 1
+        return True
+
+    # ------------------------------------------------------------------
+    def _detect(self, kf: int) -> Optional[int]:
+        """BoW retrieval excluding the covisible group + 3-vote temporal
+        consistency (reference NewDetectCommonRegions:499-564)."""
+        m = self.map
+        exclude = np.zeros(m.max_kf, bool)
+        exclude[kf] = True
+        covis_group = np.nonzero(m.covis[kf] >= 15)[0]
+        exclude[covis_group] = True
+        # also exclude the temporal neighborhood
+        chain = m.kf_chain()
+        pos = np.nonzero(chain == kf)[0]
+        if len(pos):
+            lo = max(0, int(pos[0]) - 10)
+            exclude[chain[lo:]] = True
+        cands, scores = self.kfdb.query_grouped(
+            m.kf_feat_desc[kf], m.kf_feat_valid[kf], m.covis, m.kf_valid,
+            exclude=exclude, top_n=3)
+        if len(cands) == 0:
+            self.consistency = []
+            return None
+        # temporal consistency: the same covisibility group must be
+        # retrieved for 3 consecutive KFs
+        new_consistency = []
+        fired = None
+        for c in cands:
+            group = set(np.nonzero(m.covis[c] >= 15)[0].tolist()) | {int(c)}
+            votes = 1
+            for prev_group, prev_votes in self.consistency:
+                if group & prev_group:
+                    votes = prev_votes + 1
+                    break
+            new_consistency.append((group, votes))
+            if votes >= 3 and fired is None:
+                fired = int(c)
+        self.consistency = new_consistency
+        return fired
+
+    # ------------------------------------------------------------------
+    def _verify_sim3(self, kf: int, cand: int):
+        """Match map points of kf vs cand by descriptor, robust Sim3
+        (reference: Sim3Solver RANSAC + SearchBySim3)."""
+        m = self.map
+        def kf_points(k):
+            match = m.kf_match_pt[k]
+            feat = np.nonzero(match >= 0)[0]
+            return feat, match[feat]
+        f1, p1 = kf_points(kf)
+        f2, p2 = kf_points(cand)
+        if len(f1) < 20 or len(f2) < 20:
+            return False, None, None, None
+        d1 = M.unpack_u32_to_pm1(jnp.asarray(m.kf_feat_desc[kf][f1]))
+        d2 = M.unpack_u32_to_pm1(jnp.asarray(m.kf_feat_desc[cand][f2]))
+        dist = M.hamming_matrix(d1, d2)
+        idx, ok = M.match_nn_ratio(dist, jnp.ones(len(f1), bool),
+                                   jnp.ones(len(f2), bool), None,
+                                   max_dist=60.0, ratio=0.85)
+        ok_np = np.asarray(ok)
+        if ok_np.sum() < 15:
+            return False, None, None, None
+        idx_np = np.asarray(idx)
+        X1 = m.pt_xyz[p1[ok_np]]                      # drifted (current)
+        X2 = m.pt_xyz[p2[idx_np[ok_np]]]              # old (loop side)
+        pad = 256
+        Xp1 = np.zeros((pad, 3), np.float32)
+        Xp2 = np.zeros((pad, 3), np.float32)
+        nv = min(len(X1), pad)
+        Xp1[:nv] = X1[:nv]
+        Xp2[:nv] = X2[:nv]
+        valid = np.zeros(pad, bool)
+        valid[:nv] = True
+        self._key, sub = jax.random.split(self._key)
+        fix_scale = self.cfg.sensor in (1, 2, 4) or m.imu_initialized
+        s, R, t, inl, n = PNP.sim3_ransac(
+            jnp.asarray(Xp1), jnp.asarray(Xp2), jnp.asarray(valid), sub,
+            th=0.08, fix_scale=fix_scale)
+        if int(n) < 12:
+            return False, None, None, None
+        s = float(s)
+        if not (0.5 < s < 2.0):   # scale sanity (reference :96-106)
+            return False, None, None, None
+        return True, s, np.asarray(R), np.asarray(t)
+
+    # ------------------------------------------------------------------
+    def _correct_loop(self, kf: int, cand: int, s, R, t) -> None:
+        """CorrectLoop (reference :1212): apply the correcting similarity
+        to the current covisible window (+its points), then optimize the
+        full essential graph with the loop edge, then GBA."""
+        m = self.map
+        # S maps current-frame coords -> loop-frame coords (world drift fix)
+        # correct the window around kf: X' = s R X + t
+        window = m.covisible_kfs(kf, n=15, min_weight=10)
+        window = np.unique(np.concatenate([[kf], window]))
+        corr_pts = np.unique(m.kf_match_pt[window])
+        corr_pts = corr_pts[corr_pts >= 0]
+        corr_pts = corr_pts[m.pt_valid[corr_pts]]
+        m.pt_xyz[corr_pts] = (s * (m.pt_xyz[corr_pts] @ R.T) + t).astype(np.float32)
+        if m.ln_valid.any():
+            corr_lns = np.unique(m.kf_match_ln[window])
+            corr_lns = corr_lns[corr_lns >= 0]
+            if len(corr_lns):
+                ep = m.ln_ep[corr_lns].reshape(-1, 3)
+                m.ln_ep[corr_lns] = (s * (ep @ R.T) + t).reshape(-1, 6).astype(np.float32)
+        # KF poses re-expressed under the similarity: with X' = sRX + t,
+        # T_cw' = [R_cw R^T | s t_cw - R_cw R^T t] keeps every projection
+        # fixed (pc' = s pc, projectively identical)
+        for k in window:
+            R_cw = m.kf_pose_cw[k, :, :3].copy()
+            t_cw = m.kf_pose_cw[k, :, 3].copy()
+            R_new = R_cw @ R.T
+            m.kf_pose_cw[k, :, :3] = R_new
+            m.kf_pose_cw[k, :, 3] = s * t_cw - R_new @ t
+
+        # essential graph over all KFs
+        self._essential_graph(kf, cand, s, R, t)
+        m.change_index += 1
+
+    def _essential_graph(self, kf: int, cand: int, s, R, t) -> None:
+        m = self.map
+        chain = m.kf_chain()
+        n = len(chain)
+        if n < 3 or n > self.pg_kf_cap:
+            return
+        slot = {int(k): i for i, k in enumerate(chain)}
+        states = np.zeros((self.pg_kf_cap, 13), np.float32)
+        for i, k in enumerate(chain):
+            states[i] = np.concatenate([
+                m.kf_pose_cw[k, :, :3].reshape(-1), m.kf_pose_cw[k, :, 3],
+                [1.0]])
+        edge_i, edge_j, Rjis, tjis, sjis, infos = [], [], [], [], [], []
+
+        def add_edge(a, b, info=1.0):
+            """edge (a,b) with measurement S_b S_a^{-1} from CURRENT
+            (corrected) poses."""
+            Ra = m.kf_pose_cw[a, :, :3]
+            ta = m.kf_pose_cw[a, :, 3]
+            Rb = m.kf_pose_cw[b, :, :3]
+            tb = m.kf_pose_cw[b, :, 3]
+            Rba = Rb @ Ra.T
+            tba = tb - Rba @ ta
+            edge_i.append(slot[int(a)])
+            edge_j.append(slot[int(b)])
+            # measurement S_ji with i=a, j=b: S_b S_a^{-1}
+            Rjis.append(Rba)
+            tjis.append(tba)
+            sjis.append(1.0)
+            infos.append(info)
+
+        # temporal chain + covisibility edges
+        for i in range(1, n):
+            add_edge(chain[i], chain[i - 1])
+        for i, k in enumerate(chain):
+            for other in np.nonzero(m.covis[k] >= 30)[0]:
+                if int(other) in slot and slot[int(other)] > i + 1:
+                    add_edge(k, other)
+                    if len(edge_i) >= self.pg_edge_cap - 2:
+                        break
+            if len(edge_i) >= self.pg_edge_cap - 2:
+                break
+        # the loop edge with strong information
+        add_edge(kf, cand, info=100.0)
+
+        ne = len(edge_i)
+        cap_e = self.pg_edge_cap
+
+        def pad(a, fill=0):
+            a = np.asarray(a)
+            out = np.full((cap_e,) + a.shape[1:], fill, a.dtype)
+            out[:len(a)] = a
+            return out
+
+        kf_free = np.zeros(self.pg_kf_cap, bool)
+        kf_free[1:n] = True
+        kf_free[slot[int(cand)]] = False   # loop side fixed
+
+        out = self.pose_graph(
+            jnp.asarray(states), jnp.asarray(kf_free),
+            jnp.asarray(pad(np.asarray(edge_i, np.int32))),
+            jnp.asarray(pad(np.asarray(edge_j, np.int32))),
+            jnp.asarray(pad(np.stack(Rjis).astype(np.float32))),
+            jnp.asarray(pad(np.stack(tjis).astype(np.float32))),
+            jnp.asarray(pad(np.asarray(sjis, np.float32), 1.0)),
+            jnp.asarray(np.arange(cap_e) < ne),
+            jnp.asarray(pad(np.asarray(infos, np.float32))))
+        out = np.asarray(out)
+
+        # apply: correct KF poses and transform their points by the
+        # per-reference-KF similarity change (reference :3900 spanning-tree
+        # propagation of corrected poses)
+        pt_ref = np.full(m.max_pts, -1, np.int32)
+        for k in chain:
+            pts = m.kf_match_pt[k]
+            pts = pts[pts >= 0]
+            fresh = pt_ref[pts] < 0
+            pt_ref[pts[fresh]] = k
+        old_poses = {int(k): (m.kf_pose_cw[k, :, :3].copy(),
+                              m.kf_pose_cw[k, :, 3].copy()) for k in chain}
+        for i, k in enumerate(chain):
+            Rn = out[i, :9].reshape(3, 3)
+            tn = out[i, 9:12]
+            sn = out[i, 12]
+            # fold sim3 into SE3: T_cw = [R | t/s]
+            m.kf_pose_cw[k, :, :3] = np.asarray(
+                lie.so3_normalize(jnp.asarray(Rn[None], jnp.float32)))[0]
+            m.kf_pose_cw[k, :, 3] = tn / max(sn, 1e-6)
+        for k in chain:
+            pts = np.nonzero((pt_ref == k) & m.pt_valid)[0]
+            if len(pts) == 0:
+                continue
+            R_old, t_old = old_poses[int(k)]
+            R_new = m.kf_pose_cw[k, :, :3]
+            t_new = m.kf_pose_cw[k, :, 3]
+            # X' = T_new^{-1} T_old X
+            Xc = m.pt_xyz[pts] @ R_old.T + t_old
+            m.pt_xyz[pts] = ((Xc - t_new) @ R_new).astype(np.float32)

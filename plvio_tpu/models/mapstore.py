@@ -134,26 +134,38 @@ class MapStore:
 
     def update_covisibility(self, kf: int) -> None:
         """Recompute covisibility row of `kf` from shared point (and line)
-        observations."""
-        pts = self.kf_match_pt[kf]
-        pts = pts[pts >= 0]
-        if len(pts) == 0:
+        observations (reference KeyFrame::UpdateConnectionsWithLines,
+        src/KeyFrame.cc:624 — counts point AND line co-observations).
+        Fully vectorized: one membership test over the whole KF bank
+        (native C++ fast path in plvio_tpu.native when built)."""
+        from .. import native
+        if native.available():
+            counts = native.covis_row(
+                self.kf_match_pt, self.kf_match_ln,
+                self.kf_valid.astype(np.uint8), kf,
+                self.max_pts, self.max_lines)
+            self.covis[kf] = counts
+            self.covis[:, kf] = counts
             return
         counts = np.zeros(self.max_kf, np.int32)
-        valid_kfs = np.nonzero(self.kf_valid)[0]
-        for other in valid_kfs:
-            if other == kf:
-                continue
-            other_pts = self.kf_match_pt[other]
-            counts[other] = np.isin(pts, other_pts[other_pts >= 0]).sum()
+        pts = self.kf_match_pt[kf]
+        pts = pts[pts >= 0]
+        if len(pts):
+            member = np.zeros(self.max_pts, bool)
+            member[pts] = True
+            all_m = self.kf_match_pt          # [K,F]
+            hit = (all_m >= 0) & member[np.clip(all_m, 0, self.max_pts - 1)]
+            counts += hit.sum(axis=1, dtype=np.int32)
         lns = self.kf_match_ln[kf]
         lns = lns[lns >= 0]
         if len(lns):
-            for other in valid_kfs:
-                if other == kf:
-                    continue
-                o = self.kf_match_ln[other]
-                counts[other] += np.isin(lns, o[o >= 0]).sum()
+            member = np.zeros(self.max_lines, bool)
+            member[lns] = True
+            all_l = self.kf_match_ln
+            hit = (all_l >= 0) & member[np.clip(all_l, 0, self.max_lines - 1)]
+            counts += hit.sum(axis=1, dtype=np.int32)
+        counts[~self.kf_valid] = 0
+        counts[kf] = 0
         self.covis[kf] = counts
         self.covis[:, kf] = counts
 

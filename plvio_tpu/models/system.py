@@ -63,8 +63,33 @@ class System:
             self.extract_lines = LN.make_line_extractor(
                 cam.height, cam.width, max_lines=256)
 
+        # BoW vocabulary + keyframe database (reference: ORBVocabulary +
+        # KeyFrameDatabase built in System::System src/System.cc:83-108)
+        from . import vocabulary as V
+        from .kfdb import KeyFrameDatabase
+        self.vocabulary = V.random_vocabulary(seed=cfg.seed, k=10, depth=4)
+        self.kfdb = KeyFrameDatabase(self.vocabulary, cfg.map.max_keyframes,
+                                     self.n_feat)
+
         self.tracker = Tracker(cfg, self.atlas, self.n_feat)
+        self.tracker.kfdb = self.kfdb
         self.mapper = LocalMapper(cfg, self.atlas, self.n_feat)
+
+        self.loop_closer = None
+        if cfg.use_loop_closing:
+            from .loop_closing import LoopCloser
+            self.loop_closer = LoopCloser(cfg, self.atlas, self.kfdb,
+                                          self.n_feat)
+
+        # prior-map relocalization thread analog (reference: spawned when
+        # bRelocalization==1, src/System.cc:216-222)
+        self.relocalizer = None
+        if cfg.reloc.enabled:
+            from .relocalization import PriorMapRelocalizer
+            self.relocalizer = PriorMapRelocalizer(
+                cfg, self.atlas, self.vocabulary, self.n_feat)
+            if cfg.reloc.prior_data_dir:
+                self.relocalizer.load_prior_dir(cfg.reloc.prior_data_dir)
 
         self.async_mapping = async_mapping
         self._kf_queue: "queue.Queue[int]" = queue.Queue()
@@ -113,7 +138,16 @@ class System:
             if self.async_mapping:
                 self._kf_queue.put(kf)
             else:
-                self.mapper.process_keyframe(kf)
+                self._process_kf(kf)
+
+    def _process_kf(self, kf: int):
+        m = self.atlas.current
+        self.kfdb.add_keyframe(kf, m.kf_feat_desc[kf], m.kf_feat_valid[kf])
+        self.mapper.process_keyframe(kf)
+        if self.loop_closer is not None:
+            self.loop_closer.process_keyframe(kf)
+        if self.relocalizer is not None:
+            self.relocalizer.process_keyframe(kf, m.kf_timestamp[kf])
 
     def _mapping_loop(self):
         while not self._stop.is_set():
@@ -121,7 +155,7 @@ class System:
                 kf = self._kf_queue.get(timeout=0.05)
             except queue.Empty:
                 continue
-            self.mapper.process_keyframe(kf)
+            self._process_kf(kf)
 
     # ------------------------------------------------------------------
     def shutdown(self):
@@ -142,6 +176,12 @@ class System:
         """TUM-format full-frame trajectory (reference
         System::SaveTrajectoryEuRoC src/System.cc:785)."""
         TIO.write_tum(path, self.trajectory())
+
+    def save_relocalized_trajectory(self, path: str) -> None:
+        """KF trajectory in the prior-map frame (reference
+        SaveKeyFrameTrajectoryByRelocalization src/System.cc:959)."""
+        assert self.relocalizer is not None, "bRelocalization not enabled"
+        self.relocalizer.save_trajectory(path)
 
     def save_keyframe_trajectory(self, path: str) -> None:
         """reference System::SaveKeyFrameTrajectoryEuRoC src/System.cc:907."""

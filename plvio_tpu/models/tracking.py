@@ -180,6 +180,10 @@ class Tracker:
             return None
 
         ok = self._track_frame(feats, timestamp)
+        if not ok and self.state == TrackState.RECENTLY_LOST:
+            # in-map relocalization: BoW candidates + PnP RANSAC
+            # (reference Tracking::Relocalization src/Tracking.cc:5744)
+            ok = self._relocalize(feats)
         if ok:
             self.lost_count = 0
             self.state = TrackState.OK
@@ -527,6 +531,63 @@ class Tracker:
         self.last_n_inliers = n_inliers
         # track reference KF: covisible KF sharing most points
         return True
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, feats: Features) -> bool:
+        """BoW candidate retrieval + descriptor matching to candidate map
+        points + PnP RANSAC + pose refinement (reference
+        Tracking::Relocalization src/Tracking.cc:5744 with MLPnPsolver)."""
+        kfdb = getattr(self, "kfdb", None)
+        if kfdb is None:
+            return False
+        m = self.map
+        desc_packed = np.asarray(M.pack_bits_u32(feats.desc))
+        cands, scores = kfdb.query(desc_packed, np.asarray(feats.valid),
+                                   top_n=3)
+        from ..ops import pnp as PNP
+        for cand in cands:
+            if not m.kf_valid[cand]:
+                continue
+            match = m.kf_match_pt[cand]
+            cf = np.nonzero(match >= 0)[0]
+            if len(cf) < 15:
+                continue
+            d_frame = feats.desc
+            d_cand = M.unpack_u32_to_pm1(jnp.asarray(m.kf_feat_desc[cand][cf]))
+            dist = M.hamming_matrix(d_frame, d_cand)
+            idx, ok = M.match_nn_ratio(dist, feats.valid,
+                                       jnp.ones(len(cf), bool), None,
+                                       max_dist=60.0, ratio=0.8)
+            ok_np = np.asarray(ok)
+            if ok_np.sum() < 12:
+                continue
+            idx_np = np.asarray(idx)
+            fsel = np.nonzero(ok_np)[0]
+            pts = match[cf[idx_np[fsel]]]
+            cap = 512
+            uv_p = np.zeros((cap, 2), np.float32)
+            X_p = np.zeros((cap, 3), np.float32)
+            valid = np.zeros(cap, bool)
+            nv = min(len(fsel), cap)
+            uv_p[:nv] = np.asarray(feats.uv_und)[fsel[:nv]]
+            X_p[:nv] = m.pt_xyz[pts[:nv]]
+            valid[:nv] = True
+            self._key, sub = jax.random.split(self._key)
+            R, t, inl, n = PNP.pnp_ransac(self.K, jnp.asarray(uv_p),
+                                          jnp.asarray(X_p),
+                                          jnp.asarray(valid), sub)
+            if int(n) < 10:
+                continue
+            pose = np.concatenate([np.asarray(R), np.asarray(t)[:, None]],
+                                  1).astype(np.float32)
+            # refine with the local map around the candidate
+            self.last_pose_cw = pose
+            self.ref_kf = int(cand)
+            self.velocity = None
+            ok2 = self._track_frame(feats, m.kf_timestamp[cand])
+            if ok2:
+                return True
+        return False
 
     # ------------------------------------------------------------------
     def _need_keyframe(self) -> bool:

@@ -302,6 +302,52 @@ def make_inertial_gs(gravity: float = 9.81):
     return res
 
 
+# --------------------------------------------------------------------------
+# Sim3 pose-graph residual (reference g2o EdgeSim3 used by
+# Optimizer::OptimizeEssentialGraph, src/Optimizer.cc:6952; vertices are
+# S_iw world->kf similarities)
+# --------------------------------------------------------------------------
+
+def sim3_from_flat(S: jnp.ndarray):
+    """State storage [13] = R(9 row-major) + t(3) + s(1)."""
+    return S[:9].reshape(3, 3), S[9:12], S[12]
+
+
+def sim3_to_flat(R, t, s):
+    return jnp.concatenate([R.reshape(-1), t, jnp.atleast_1d(s)])
+
+
+def retract_sim3_single(S: jnp.ndarray, d: jnp.ndarray):
+    R, t, s = sim3_from_flat(S)
+    dR, dt, ds = lie.sim3_exp(d)
+    return dR @ R, ds * (dR @ t) + dt, ds * s
+
+
+def retract_sim3(S: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """Batched engine retract [N,13],[N,7] -> [N,13] (left-mult exp)."""
+    def one(Si, di):
+        R, t, s = retract_sim3_single(Si, di)
+        return sim3_to_flat(lie.so3_normalize(R), t, s)
+    return jax.vmap(one)(S, d)
+
+
+def sim3_edge(blocks, deltas, const):
+    """r[7] = log( S_ji_meas * S_i * S_j^{-1} ).
+    const = {'Rji','tji','sji'} the measured relative similarity."""
+    Si_, Sj_ = blocks
+    di, dj = deltas
+    Ri, ti, si = retract_sim3_single(Si_, di)
+    Rj, tj, sj = retract_sim3_single(Sj_, dj)
+    # S_j^{-1}
+    Rj_inv, tj_inv, sj_inv = lie.sim3_inv(Rj, tj, sj)
+    # S_i * S_j^{-1}
+    R1, t1, s1 = lie.sim3_mul(Ri, ti, si, Rj_inv, tj_inv, sj_inv)
+    # S_ji * (S_i S_j^{-1})
+    R2, t2, s2 = lie.sim3_mul(const["Rji"], const["tji"], const["sji"],
+                              R1, t1, s1)
+    return lie.sim3_log(R2, t2, s2)
+
+
 def bias_rw(blocks, deltas, const):
     """Random-walk residual between consecutive biases (reference
     EdgeGyroRW/EdgeAccRW, include/G2oTypes.h:777/813)."""

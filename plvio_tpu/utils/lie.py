@@ -257,47 +257,62 @@ def se3_matrix(R, t):
 # tangent ordering (rho, phi, sigma), sigma = log s.
 # --------------------------------------------------------------------------
 
+def _sim3_W(phi: jnp.ndarray, sigma: jnp.ndarray) -> jnp.ndarray:
+    """The Sim(3) translation mixing matrix W = int_0^1 e^{sigma u}
+    Exp(u phi) du = a0 I + a1 phi^ + a2 phi^^2 (Strasdat; g2o sim3.h),
+    with Taylor guards at sigma -> 0 and theta -> 0."""
+    eps = 1e-4
+    theta2 = jnp.sum(phi * phi, axis=-1)
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
+    s = jnp.exp(sigma)
+    sig_small = jnp.abs(sigma) < eps
+    th_small = theta < eps
+    sig_safe = jnp.where(sig_small, 1.0, sigma)
+    th_safe = jnp.where(th_small, 1.0, theta)
+    denom = jnp.maximum(sigma * sigma + theta2, 1e-24)
+
+    # a0 = (e^s - 1)/s
+    a0 = jnp.where(sig_small, 1.0 + sigma / 2.0 + sigma * sigma / 6.0,
+                   (s - 1.0) / sig_safe)
+    # int e^{su} sin(tu) du, int e^{su} cos(tu) du
+    int_sin = (s * (sigma * jnp.sin(theta) - theta * jnp.cos(theta)) + theta) / denom
+    int_cos = (s * (sigma * jnp.cos(theta) + theta * jnp.sin(theta)) - sigma) / denom
+    # a1 = int_sin / theta; theta->0 limit: int e^{su} u du
+    int_u = jnp.where(sig_small, 0.5 + sigma / 3.0,
+                      (s * (sigma - 1.0) + 1.0) / (sig_safe * sig_safe))
+    a1 = jnp.where(th_small, int_u, int_sin / th_safe)
+    # a2 = (a0 - int_cos)/theta^2; theta->0 limit: int e^{su} u^2/2 du
+    int_u2h = jnp.where(
+        sig_small, 1.0 / 6.0 + sigma / 8.0,
+        (s * (sigma * sigma - 2.0 * sigma + 2.0) - 2.0)
+        / (2.0 * sig_safe ** 3))
+    a2 = jnp.where(th_small, int_u2h,
+                   (a0 - int_cos) / jnp.maximum(theta2, 1e-24))
+
+    Wh = hat(phi)
+    Wh2 = Wh @ Wh
+    I = jnp.broadcast_to(jnp.eye(3, dtype=phi.dtype), Wh.shape)
+    return a0[..., None, None] * I + a1[..., None, None] * Wh \
+        + a2[..., None, None] * Wh2
+
+
 def sim3_exp(xi: jnp.ndarray):
     """[...,7] (rho,phi,sigma) -> (R, t, s)."""
     rho, phi, sigma = xi[..., :3], xi[..., 3:6], xi[..., 6]
     s = jnp.exp(sigma)
     R = so3_exp(phi)
-    W = hat(phi)
-    W2 = W @ W
-    theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
-    I = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), W.shape)
-    # Closed-form W(sigma, theta) from Strasdat's thesis (g2o sim3.h)
-    eps = 1e-5
-    sig_small = jnp.abs(sigma) < eps
-    th_small = theta < eps
-    A_ss = jnp.where(th_small, 0.5, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-24))
-    B_ss = jnp.where(th_small, 1.0 / 6.0,
-                     (theta - jnp.sin(theta)) / jnp.maximum(theta2 * theta, 1e-24))
-    C_gen = jnp.where(sig_small, 1.0, (s - 1.0) / jnp.where(sig_small, 1.0, sigma))
-    sig2t2 = jnp.maximum(sigma * sigma + theta2, 1e-24)
-    a = jnp.where(th_small, 0.0, s * jnp.sin(theta))
-    b = jnp.where(th_small, 0.0, s * jnp.cos(theta))
-    A_gen = jnp.where(
-        sig_small, A_ss,
-        jnp.where(th_small, jnp.zeros_like(theta),
-                  (a * sigma + (1.0 - b) * theta) / jnp.maximum(theta * sig2t2, 1e-24)))
-    B_gen = jnp.where(
-        sig_small, B_ss,
-        jnp.where(th_small, jnp.zeros_like(theta),
-                  (C_gen - ((b - 1.0) * sigma + a * theta) / sig2t2) / jnp.maximum(theta2, 1e-24)))
-    # sigma !=0, theta==0 case for A,B:
-    A_s0 = jnp.where(sig_small, A_ss,
-                     ((sigma - 1.0) * s + 1.0) / jnp.where(sig_small, 1.0, sigma * sigma))
-    A_fin = jnp.where(th_small, jnp.where(sig_small, A_ss, A_s0), A_gen)
-    B_s0 = jnp.where(
-        sig_small, B_ss,
-        (s * 0.5 * sigma * sigma + s - 1.0 - sigma * s) /
-        jnp.where(sig_small, 1.0, sigma * sigma * sigma) * jnp.sign(jnp.ones_like(sigma)))
-    B_fin = jnp.where(th_small, jnp.where(sig_small, B_ss, B_s0), B_gen)
-    Wm = C_gen[..., None, None] * I + A_fin[..., None, None] * W + B_fin[..., None, None] * W2
+    Wm = _sim3_W(phi, sigma)
     t = (Wm @ rho[..., None])[..., 0]
     return R, t, s
+
+
+def sim3_log(R: jnp.ndarray, t: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """(R, t, s) -> [...,7] (rho, phi, sigma).  Inverse of sim3_exp."""
+    sigma = jnp.log(jnp.maximum(s, 1e-12))
+    phi = so3_log(R)
+    Wm = _sim3_W(phi, sigma)
+    rho = jnp.linalg.solve(Wm, t[..., None])[..., 0]
+    return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
 
 
 def sim3_inv(R, t, s):
