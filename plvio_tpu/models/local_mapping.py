@@ -430,8 +430,9 @@ class LocalMapper:
                     unbind = np.isin(match, bad_pts)
                     m.kf_match_pt[kfi, unbind] = INVALID
                     m.pt_n_obs[bad_pts] -= 1
-        # points left with <2 obs are bad
-        orphan = pt_ids[m.pt_n_obs[pt_ids] < 2]
+        # points that lost all observations are bad (single-obs points
+        # are legitimate for depth-seeded stereo/RGB-D landmarks)
+        orphan = pt_ids[m.pt_n_obs[pt_ids] < 1]
         if len(orphan):
             m.remove_point(orphan)
 

@@ -112,25 +112,79 @@ class System:
         # undistort keypoint coordinates once per frame
         und = CAM.undistort_pixels(self.camera, feats.uv)
         feats = feats._replace(uv_und=und)
-        line_feats = None
-        if self.extract_lines is not None:
-            lf = self.extract_lines(img_dev)
-            # undistort endpoints, refresh the 2D line equations
-            sp = CAM.undistort_pixels(self.camera, lf.ep[:, :2])
-            ep = CAM.undistort_pixels(self.camera, lf.ep[:, 2:])
-            ep4 = jnp.concatenate([sp, ep], -1)
-            from ..ops import lines as LN
-            line_feats = lf._replace(ep=ep4, lineq=LN.line_equation(ep4))
+        line_feats = self._extract_frame_lines(img_dev)
         pose = self.tracker.process_frame(feats, timestamp, imu=imu,
                                           line_feats=line_feats)
         self._drain_keyframes()
         # IMU init re-expressed the map: bring the tracker's frame state
         # into the new gravity-aligned metric frame
+        self._apply_pending_transform()
+        return pose
+
+    def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
+                     timestamp: float,
+                     imu: Optional[Sequence] = None) -> Optional[np.ndarray]:
+        """Rectified stereo entry (reference System::TrackStereo,
+        src/System.cc:434): extract both views, row-gated stereo match ->
+        per-feature depth, then the common tracking flow with
+        depth-seeded map points."""
+        from ..ops import stereo as ST
+        from ..ops import matching as M2
+        imgL = jnp.asarray(img_left, jnp.float32)
+        imgR = jnp.asarray(img_right, jnp.float32)
+        fL = self.extract(imgL)
+        fR = self.extract(imgR)
+        und = CAM.undistort_pixels(self.camera, fL.uv)
+        fL = fL._replace(uv_und=und)
+        bf = self.cfg.camera.baseline * self.cfg.camera.fx
+        _, depth, has = ST.match_stereo(
+            fL.uv, fL.desc, fL.octave, fL.valid,
+            fR.uv, fR.desc, fR.octave, fR.valid, bf)
+        depth_np = np.where(np.asarray(has), np.asarray(depth), -1.0)
+        line_feats = self._extract_frame_lines(imgL)
+        pose = self.tracker.process_frame(fL, timestamp, imu=imu,
+                                          line_feats=line_feats,
+                                          depth=depth_np)
+        self._drain_keyframes()
+        self._apply_pending_transform()
+        return pose
+
+    def track_rgbd(self, img: np.ndarray, depth_img: np.ndarray,
+                   timestamp: float,
+                   imu: Optional[Sequence] = None) -> Optional[np.ndarray]:
+        """RGB-D entry (reference System::TrackRGBD, src/System.cc:502):
+        per-feature depth sampled from the depth image."""
+        img_dev = jnp.asarray(img, jnp.float32)
+        feats = self.extract(img_dev)
+        und = CAM.undistort_pixels(self.camera, feats.uv)
+        feats = feats._replace(uv_und=und)
+        uv = np.asarray(feats.uv)
+        ui = np.clip(uv[:, 0].astype(int), 0, depth_img.shape[1] - 1)
+        vi = np.clip(uv[:, 1].astype(int), 0, depth_img.shape[0] - 1)
+        depth_np = depth_img[vi, ui].astype(np.float32)
+        line_feats = self._extract_frame_lines(img_dev)
+        pose = self.tracker.process_frame(feats, timestamp, imu=imu,
+                                          line_feats=line_feats,
+                                          depth=depth_np)
+        self._drain_keyframes()
+        self._apply_pending_transform()
+        return pose
+
+    def _extract_frame_lines(self, img_dev):
+        if self.extract_lines is None:
+            return None
+        from ..ops import lines as LN
+        lf = self.extract_lines(img_dev)
+        sp = CAM.undistort_pixels(self.camera, lf.ep[:, :2])
+        ep = CAM.undistort_pixels(self.camera, lf.ep[:, 2:])
+        ep4 = jnp.concatenate([sp, ep], -1)
+        return lf._replace(ep=ep4, lineq=LN.line_equation(ep4))
+
+    def _apply_pending_transform(self):
         if self.mapper.pending_transform is not None:
             R_gw, scale = self.mapper.pending_transform
             self.mapper.pending_transform = None
             self.tracker.apply_map_transform(R_gw, scale)
-        return pose
 
     def _drain_keyframes(self):
         while self.tracker.new_kf_queue:

@@ -53,6 +53,7 @@ class FrameRecord:
     timestamp: float
     ref_kf: int
     T_cr: np.ndarray  # [3,4] frame-from-refKF
+    map_id: int = 0   # Atlas map the ref KF lives in
 
 
 class Tracker:
@@ -163,18 +164,25 @@ class Tracker:
 
     def process_frame(self, feats: Features, timestamp: float,
                       imu: Optional[tuple] = None,
-                      line_feats=None) -> Optional[np.ndarray]:
+                      line_feats=None,
+                      depth: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
         """Returns T_cw [3,4] or None while not tracking.  `imu` is an
         optional (gyro [k,3], acc [k,3], dt [k]) batch since last frame;
-        `line_feats` an optional ops.lines.LineFeatures."""
+        `line_feats` an optional ops.lines.LineFeatures; `depth` an
+        optional per-feature depth array [F] (stereo/RGB-D modes; <=0
+        marks no depth)."""
         self.frame_idx += 1
         self._frame_imu = None
         self._frame_lines = line_feats
+        self._frame_depth = depth
         if self.use_imu and imu is not None:
             self.grab_imu(*imu)
             self._frame_imu = imu
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
-            self._initialize_mono(feats, timestamp)
+            if depth is not None:
+                self._initialize_with_depth(feats, timestamp)
+            else:
+                self._initialize_mono(feats, timestamp)
             if self.state == TrackState.OK:
                 return self.last_pose_cw
             return None
@@ -196,6 +204,7 @@ class Tracker:
             if self.lost_count > int(self.cfg.tracking.recently_lost_s
                                      * self.cfg.camera.fps):
                 self.state = TrackState.LOST
+                self._handle_lost()
             else:
                 self.state = TrackState.RECENTLY_LOST
             return None
@@ -210,7 +219,8 @@ class Tracker:
         R_cr = R_cw @ R_rw.T
         t_cr = t_cw - R_cr @ t_rw
         return FrameRecord(timestamp, self.ref_kf,
-                           np.concatenate([R_cr, t_cr[:, None]], 1))
+                           np.concatenate([R_cr, t_cr[:, None]], 1),
+                           map_id=self.atlas.active)
 
     # ------------------------------------------------------------------
     # Monocular initialization
@@ -305,6 +315,76 @@ class Tracker:
         self.last_kf_frame_idx = self.frame_idx
         self.new_kf_queue += [kf0, kf1]
         self.frames.append(self._make_record(timestamp))
+
+    def _initialize_with_depth(self, feats: Features, timestamp: float) -> None:
+        """Stereo/RGB-D bootstrap: one keyframe, map points straight from
+        depth (reference Tracking::StereoInitialization)."""
+        depth = self._frame_depth
+        good = np.asarray(feats.valid) & (depth > 0.1) & (depth < 60.0)
+        if good.sum() < 100:
+            return
+        m = self.map
+        kf = m.alloc_kf()
+        m.kf_timestamp[kf] = timestamp
+        m.kf_pose_cw[kf] = np.eye(3, 4, dtype=np.float32)
+        self._store_kf_features(kf, feats, self._frame_lines)
+        uv = np.asarray(feats.uv_und)
+        ids = np.nonzero(good)[0]
+        pts = m.alloc_points(len(ids))
+        ids = ids[:len(pts)]
+        z = depth[ids]
+        X = np.stack([(uv[ids, 0] - self.K.cx) / self.K.fx * z,
+                      (uv[ids, 1] - self.K.cy) / self.K.fy * z, z], -1)
+        m.pt_xyz[pts] = X.astype(np.float32)
+        m.pt_desc[pts] = np.asarray(M.pack_bits_u32(feats.desc))[ids]
+        m.pt_first_kf[pts] = kf
+        m.kf_match_pt[kf, ids] = pts
+        m.pt_n_obs[pts] = 1
+        m.pt_found[pts] = 1
+        m.pt_visible[pts] = 1
+        self.ref_kf = kf
+        self.last_feats = feats
+        self.last_pose_cw = np.eye(3, 4, dtype=np.float32)
+        feat_pt = np.full(self.n_feat, INVALID, np.int32)
+        feat_pt[ids] = pts
+        self.last_feat_pt = feat_pt
+        self.velocity = None
+        self.state = TrackState.OK
+        self.last_kf_frame_idx = self.frame_idx
+        self.new_kf_queue.append(kf)
+        if self.use_imu:
+            m.kf_pose_wb[kf] = self._cw_to_wb(m.kf_pose_cw[kf])
+            self.imu_since_kf = []
+        self.frames.append(self._make_record(timestamp))
+
+    def _create_depth_points(self, kf: int, feats: Features) -> None:
+        """Close-point creation from depth at KF insertion (reference
+        CreateNewKeyFrame's stereo close-point seeding)."""
+        depth = self._frame_depth
+        if depth is None:
+            return
+        m = self.map
+        unbound = (m.kf_match_pt[kf] == INVALID) & m.kf_feat_valid[kf]
+        good = unbound[:len(depth)] & (depth > 0.1) & (depth < 40.0)
+        ids = np.nonzero(good)[0][:300]
+        if len(ids) == 0:
+            return
+        pts = m.alloc_points(len(ids))
+        ids = ids[:len(pts)]
+        uv = m.kf_feat_uv[kf]
+        z = depth[ids]
+        Xc = np.stack([(uv[ids, 0] - self.K.cx) / self.K.fx * z,
+                       (uv[ids, 1] - self.K.cy) / self.K.fy * z, z], -1)
+        R_cw = m.kf_pose_cw[kf, :, :3]
+        t_cw = m.kf_pose_cw[kf, :, 3]
+        Xw = (Xc - t_cw) @ R_cw
+        m.pt_xyz[pts] = Xw.astype(np.float32)
+        m.pt_desc[pts] = m.kf_feat_desc[kf][ids]
+        m.pt_first_kf[pts] = kf
+        m.kf_match_pt[kf, ids] = pts
+        m.pt_n_obs[pts] = 1
+        m.pt_found[pts] = 1
+        m.pt_visible[pts] = 1
 
     def _store_kf_features(self, kf: int, f: Features,
                            lf=None) -> None:
@@ -533,6 +613,30 @@ class Tracker:
         return True
 
     # ------------------------------------------------------------------
+    def _handle_lost(self) -> None:
+        """Elastic recovery (reference: src/Tracking.cc:2404-2421): a
+        mature map is kept and a fresh one started in the Atlas
+        (CreateMapInAtlas :3350) — to be merged back by loop closing; a
+        small young map is simply reset."""
+        m = self.map
+        if m.n_kf > 10:
+            self.atlas.create_new_map(
+                max_kf=m.max_kf, max_pts=m.max_pts, max_lines=m.max_lines,
+                n_feat=self.n_feat)
+        else:
+            # reset the active map in place
+            fresh = type(m)(max_kf=m.max_kf, max_pts=m.max_pts,
+                            max_lines=m.max_lines, n_feat=self.n_feat,
+                            map_id=m.map_id)
+            self.atlas.maps[self.atlas.active] = fresh
+        self.state = TrackState.NO_IMAGES_YET
+        self.init_feats = None
+        self.last_feat_pt = None
+        self.velocity = None
+        self.lost_count = 0
+        self.imu_since_kf = []
+
+    # ------------------------------------------------------------------
     def _relocalize(self, feats: Features) -> bool:
         """BoW candidate retrieval + descriptor matching to candidate map
         points + PnP RANSAC + pose refinement (reference
@@ -622,6 +726,9 @@ class Tracker:
         m.update_covisibility(kf)
         if self.use_imu:
             self._store_kf_inertial(kf)
+        if self._frame_depth is not None:
+            self._create_depth_points(kf, feats)
+            m.update_covisibility(kf)
         self.ref_kf = kf
         self.last_kf_frame_idx = self.frame_idx
         self.new_kf_queue.append(kf)
@@ -651,9 +758,11 @@ class Tracker:
         """(timestamps, positions, quaternions) of every tracked frame,
         re-expressed through the *current* (optimized) KF poses
         (reference: System::SaveTrajectoryEuRoC src/System.cc:785)."""
-        m = self.map
         ts, pos, quat = [], [], []
         for rec in self.frames:
+            m = self.atlas.maps[rec.map_id]
+            if not m.kf_valid[rec.ref_kf]:
+                continue
             T_rw = m.kf_pose_cw[rec.ref_kf]
             R_cw = rec.T_cr[:, :3] @ T_rw[:, :3]
             t_cw = rec.T_cr[:, :3] @ T_rw[:, 3] + rec.T_cr[:, 3]
