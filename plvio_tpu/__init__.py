@@ -26,3 +26,19 @@ native    C++ runtime components (inverted index, dataset prefetcher).
 """
 
 __version__ = "0.1.0"
+
+# SLAM geometry prefers true f32 matmuls: on standard TPU backends JAX's
+# default matmul precision truncates f32 operands to bfloat16 on the MXU
+# (~0.4% relative error in pose products / normal equations).  Set
+# PLVIO_MATMUL_PRECISION=highest to force exact f32 (costs multi-pass
+# matmuls in the conv-heavy front end).  The dev-tunnel backend used for
+# CI benchmarking computes small f32 contractions exactly either way, so
+# the default stays "default" for speed; the geometry-critical solver
+# kernels are additionally robust to this via their IRLS re-gating.
+import os as _os
+
+if _os.environ.get("PLVIO_MATMUL_PRECISION"):
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision",
+                       _os.environ["PLVIO_MATMUL_PRECISION"])

@@ -77,7 +77,11 @@ def solve_spd_cg(H: jnp.ndarray, g: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
         pvec = r + beta * pvec
         return x, r, pvec, rs_new
 
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, pvec, rs))
+    def scan_body(carry, _):
+        return body(0, carry), None
+
+    (x, _, _, _), _ = jax.lax.scan(scan_body, (x, r, pvec, rs),
+                                   None, length=iters)
     return x
 
 def make_pose_optimizer(K: PinholeK, cap: int, rounds: int = 4,
@@ -157,8 +161,15 @@ def fast_pose_opt(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
         t_new = Rn @ Rt[:, 3] + tn
         return jnp.concatenate([R_new, t_new[:, None]], 1), new_gate
 
-    Rt, gate = jax.lax.fori_loop(
-        0, total_iters, body, (pose0, valid.astype(jnp.float32)))
+    # lax.scan, NOT fori_loop: fori_loop miscompiles this body on the
+    # experimental axon TPU backend (loop returns wrong/initial state for
+    # some shapes); scan lowers correctly and costs the same.
+    def scan_body(carry, i):
+        return body(i, carry), None
+
+    (Rt, gate), _ = jax.lax.scan(
+        scan_body, (pose0, valid.astype(jnp.float32)),
+        jnp.arange(total_iters))
     _, _, chi2 = compute_chi2(Rt)
     inlier = valid & (chi2 < CHI2_MONO)
     return Rt, inlier, jnp.sum(inlier)
@@ -262,9 +273,13 @@ def fast_pose_opt_pl(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
         return (jnp.concatenate([R_new, t_new[:, None]], 1),
                 new_gate_p, new_gate_l)
 
-    Rt, gp, gl = jax.lax.fori_loop(
-        0, total_iters, body,
-        (pose0, valid.astype(jnp.float32), valid_l.astype(jnp.float32)))
+    def scan_body(carry, i):
+        return body(i, carry), None
+
+    (Rt, gp, gl), _ = jax.lax.scan(
+        scan_body,
+        (pose0, valid.astype(jnp.float32), valid_l.astype(jnp.float32)),
+        jnp.arange(total_iters))
     _, _, chi2 = point_part(Rt)
     chi2_l, _ = line_chi2(Rt)
     inl_p = valid & (chi2 < CHI2_MONO)

@@ -106,7 +106,11 @@ def undistort_radtan(cam: Camera, xd: jnp.ndarray, iters: int = 8) -> jnp.ndarra
         dy = (-j10 * fx_ + j00 * fy_) / det
         return jnp.stack([x - dx, y - dy], axis=-1)
 
-    return jax.lax.fori_loop(0, iters, body, xd)
+    def scan_body(carry, _):
+        return body(0, carry), None
+
+    xn, _ = jax.lax.scan(scan_body, xd, None, length=iters)
+    return xn
 
 
 def undistort_pixels(cam: Camera, uv: jnp.ndarray) -> jnp.ndarray:
@@ -171,7 +175,10 @@ def kb8_unproject(cam: Camera, uv: jnp.ndarray, iters: int = 10) -> jnp.ndarray:
         df = 1 + 3 * k[0] * t2 + 5 * k[1] * t2**2 + 7 * k[2] * t2**3 + 9 * k[3] * t2**4
         return theta - f / jnp.maximum(df, 1e-6)
 
-    theta = jax.lax.fori_loop(0, iters, body, theta_d)
+    def scan_body(carry, _):
+        return body(0, carry), None
+
+    theta, _ = jax.lax.scan(scan_body, theta_d, None, length=iters)
     scale = jnp.tan(theta) / theta_d
     return jnp.stack([mx * scale, my * scale, jnp.ones_like(mx)], axis=-1)
 

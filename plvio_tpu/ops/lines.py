@@ -149,7 +149,10 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256,
         best = jnp.minimum(best, jnp.where(best < C, labels[jnp.clip(best, 0, C - 1)], C))
         return best
 
-    labels = jax.lax.fori_loop(0, jump_iters, propagate, labels)
+    def scan_body(carry, _):
+        return propagate(0, carry), None
+
+    labels, _ = jax.lax.scan(scan_body, labels, None, length=jump_iters)
 
     # ---- per-component aggregation ------------------------------------
     lbl = jnp.clip(labels, 0, C)           # component id in [0,C]
