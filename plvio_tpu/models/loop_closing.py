@@ -49,7 +49,8 @@ class LoopCloser:
         self.pose_graph = KN.make_pose_graph_optimizer(pg_kf_cap, pg_edge_cap)
         # GBA reuses the local-BA kernel at global capacities
         self.gba_kernel = None  # built lazily (big compile)
-        self._gba_caps = (64, 16384, gba_obs_cap)
+        self._gba_caps = (128, 8192, gba_obs_cap)
+        self.mapper = None      # wired by System for inertial full BA
         self.consistency: List[tuple] = []   # (candidate_group, votes)
         self._key = jax.random.PRNGKey(cfg.seed + 7)
         self.n_loops_closed = 0
@@ -189,6 +190,15 @@ class LoopCloser:
 
         # essential graph over all KFs
         self._essential_graph(kf, cand, s, R, t)
+        # global BA from the pose-graph-corrected state (reference
+        # RunGlobalBundleAdjustment(WithLines), src/LoopClosing.cc:3685,
+        # launched as a transient thread there; synchronous device
+        # program here).  Inertial maps use FullInertialBA via the
+        # mapper's inertial window kernel instead (src/Optimizer.cc:1921).
+        if m.imu_initialized and self.mapper is not None:
+            self.mapper.local_inertial_ba(kf, window=m.n_kf)
+        else:
+            self.run_global_ba(fixed_kf=cand)
         m.change_index += 1
 
     def _essential_graph(self, kf: int, cand: int, s, R, t) -> None:
@@ -289,3 +299,81 @@ class LoopCloser:
             # X' = T_new^{-1} T_old X
             Xc = m.pt_xyz[pts] @ R_old.T + t_old
             m.pt_xyz[pts] = ((Xc - t_new) @ R_new).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def run_global_ba(self, fixed_kf: int, iters: int = 10) -> None:
+        """Global bundle adjustment over the whole map (reference
+        BundleAdjustment(WithLines), src/Optimizer.cc:78/:903, launched
+        from RunGlobalBundleAdjustment(WithLines) :3685/:3948): every KF
+        free except the gauge anchor, every point a Schur-eliminated
+        landmark.  Over-capacity maps optimize the most-recent KFs and
+        the most-observed points; the rest keep their pose-graph result."""
+        m = self.map
+        kf_cap, pt_cap, obs_cap = self._gba_caps
+        chain = m.kf_chain()
+        if len(chain) < 3:
+            return
+        if len(chain) > kf_cap:
+            keep = np.concatenate([[fixed_kf], chain[-(kf_cap - 1):]])
+            chain = np.unique(keep)[:kf_cap]
+        kf_slot = np.full(m.max_kf, -1, np.int32)
+        kf_slot[chain] = np.arange(len(chain))
+
+        pt_ids = np.unique(m.kf_match_pt[chain])
+        pt_ids = pt_ids[pt_ids >= 0]
+        pt_ids = pt_ids[m.pt_valid[pt_ids]]
+        if len(pt_ids) > pt_cap:
+            order = np.argsort(-m.pt_n_obs[pt_ids])
+            pt_ids = np.sort(pt_ids[order[:pt_cap]])
+        if len(pt_ids) < 8:
+            return
+        pt_slot = np.full(m.max_pts, -1, np.int32)
+        pt_slot[pt_ids] = np.arange(len(pt_ids))
+
+        # observation table, fully vectorized over [K, F]
+        match = m.kf_match_pt[chain]                        # [K,F]
+        ks, fs = np.nonzero((match >= 0) & (pt_slot[np.maximum(match, 0)] >= 0))
+        pts = match[ks, fs]
+        if len(ks) > obs_cap:
+            sel = np.sort(np.random.default_rng(0).choice(
+                len(ks), obs_cap, replace=False))
+            ks, fs, pts = ks[sel], fs[sel], pts[sel]
+        obs_kf = ks.astype(np.int32)
+        obs_pt = pt_slot[pts]
+        obs_uv = m.kf_feat_uv[chain[ks], fs]
+        obs_is2 = (1.0 / 1.2 ** (2.0 * m.kf_feat_octave[chain[ks], fs])
+                   ).astype(np.float32)
+
+        def pad(a, cap, fill=0):
+            out = np.full((cap,) + a.shape[1:], fill, a.dtype)
+            out[:len(a)] = a
+            return out
+
+        kf_poses = np.tile(np.eye(3, 4, dtype=np.float32), (kf_cap, 1, 1))
+        kf_poses[:len(chain)] = m.kf_pose_cw[chain]
+        kf_free = np.zeros(kf_cap, bool)
+        kf_free[:len(chain)] = True
+        kf_free[kf_slot[fixed_kf]] = False
+        pt_xyz = np.zeros((pt_cap, 3), np.float32)
+        pt_xyz[:len(pt_ids)] = m.pt_xyz[pt_ids]
+        pt_free = np.zeros(pt_cap, bool)
+        pt_free[:len(pt_ids)] = True
+
+        if self.gba_kernel is None:
+            self.gba_kernel = KN.make_local_ba(
+                self.K, kf_cap, pt_cap, obs_cap, rounds=2, iters=5)
+        poses_out, pts_out, inl = self.gba_kernel(
+            jnp.asarray(kf_poses), jnp.asarray(kf_free),
+            jnp.asarray(pt_xyz), jnp.asarray(pt_free),
+            jnp.asarray(pad(obs_kf, obs_cap)),
+            jnp.asarray(pad(obs_pt, obs_cap)),
+            jnp.asarray(pad(obs_uv, obs_cap)),
+            jnp.asarray(np.arange(obs_cap) < len(obs_kf)),
+            jnp.asarray(pad(obs_is2, obs_cap, 1.0)))
+        poses_out = np.asarray(poses_out)
+        pts_out = np.asarray(pts_out)
+        ok = np.all(np.isfinite(poses_out[:len(chain)]), axis=(1, 2))
+        m.kf_pose_cw[chain[ok]] = poses_out[:len(chain)][ok]
+        okp = np.all(np.isfinite(pts_out[:len(pt_ids)]), axis=1)
+        m.pt_xyz[pt_ids[okp]] = pts_out[:len(pt_ids)][okp]
+        m.change_index += 1

@@ -80,6 +80,7 @@ class System:
             from .loop_closing import LoopCloser
             self.loop_closer = LoopCloser(cfg, self.atlas, self.kfdb,
                                           self.n_feat)
+            self.loop_closer.mapper = self.mapper
 
         # prior-map relocalization thread analog (reference: spawned when
         # bRelocalization==1, src/System.cc:216-222)

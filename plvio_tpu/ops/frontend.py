@@ -7,12 +7,17 @@ blur + rotated-BRIEF 256-bit descriptors — but expressed as dense
 whole-image tensor ops instead of per-pixel C++ loops:
 
 * FAST is 16 shifted-image comparisons + a wrap-around contiguous-arc
-  reduction over the whole level at once (VPU-shaped).
+  reduction over the whole level at once (VPU-shaped); both thresholds
+  (ini/min) share the same 16 shifted images.
 * The octree distribution (reference `DistributeOctTree`,
   src/ORBextractor.cc:456) becomes grid-cell non-max suppression: per-cell
   argmax then global top-K per level — same spatial-uniformity goal, fully
   parallel, fixed output shape.
-* Orientation/descriptors are batched gathers over the keypoint set.
+* Orientation/descriptors avoid per-pixel gathers entirely (scalar
+  gathers serialize on TPU): a per-keypoint patch is extracted with two
+  one-hot MXU matmuls, IC-angle is a masked patch reduction, and steered
+  BRIEF is separable in-patch bilinear sampling (hat-weight matmul) —
+  all dense MXU/VPU work.
 * The descriptor pattern is our own deterministic Gaussian pair pattern
   (BRIEF recipe sigma = patch/5) — descriptors only ever match against
   each other inside this system, so OpenCV bit-compat is not needed.
@@ -111,16 +116,7 @@ def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     return jax.lax.dynamic_slice(pad, (3 + dy, 3 + dx), (H, W))
 
 
-def fast_response(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
-    """Dense FAST-16/9 corner response.
-
-    Returns [H,W] float32 response (0 where not a corner).  Score is the
-    OpenCV-style sum of |p_i - c| - t over the darker/brighter arc
-    (reference uses cv::FAST scores for octree ordering).
-    """
-    c = img
-    neigh = jnp.stack([_shift2d(img, int(dy), int(dx)) for dx, dy in _CIRCLE])
-    diff = neigh - c[None]                      # [16,H,W]
+def _fast_from_diff(diff: jnp.ndarray, threshold: float) -> jnp.ndarray:
     brighter = diff > threshold
     darker = diff < -threshold
 
@@ -138,6 +134,26 @@ def fast_response(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
     score_d = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
     score = jnp.maximum(score_b, score_d)
     return jnp.where(is_corner, score, 0.0)
+
+
+def fast_response(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Dense FAST-16/9 corner response.
+
+    Returns [H,W] float32 response (0 where not a corner).  Score is the
+    OpenCV-style sum of |p_i - c| - t over the darker/brighter arc
+    (reference uses cv::FAST scores for octree ordering).
+    """
+    neigh = jnp.stack([_shift2d(img, int(dy), int(dx)) for dx, dy in _CIRCLE])
+    diff = neigh - img[None]                    # [16,H,W]
+    return _fast_from_diff(diff, threshold)
+
+
+def fast_response2(img: jnp.ndarray, th_hi: float, th_lo: float):
+    """Both FAST thresholds from one set of shifted images (the reference's
+    iniThFAST/minThFAST retry, src/ORBextractor.cc:~300)."""
+    neigh = jnp.stack([_shift2d(img, int(dy), int(dx)) for dx, dy in _CIRCLE])
+    diff = neigh - img[None]
+    return _fast_from_diff(diff, th_hi), _fast_from_diff(diff, th_lo)
 
 
 def nms3x3(resp: jnp.ndarray) -> jnp.ndarray:
@@ -179,33 +195,73 @@ def select_grid_topk(resp: jnp.ndarray, k: int, cell: int = 16,
 
 
 # --------------------------------------------------------------------------
-# Orientation (IC_Angle) — batched patch moments
+# Per-keypoint patches WITHOUT gathers: two one-hot MXU matmuls
 # --------------------------------------------------------------------------
+#
+# Scalar gathers (img[yy, xx]) serialize on TPU — profiled at ~36 ms/frame
+# for the descriptor sampling alone.  Instead every keypoint's square
+# patch is cut out as   P_k = U_k @ img @ V_k   with one-hot row/column
+# selector matrices: dense bf16 matmuls that the MXU eats (~10 GFLOP for
+# 1000 keypoints on a 480x752 frame = tens of microseconds).
 
-def _disc_offsets(radius: int) -> np.ndarray:
-    offs = []
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
-            if dx * dx + dy * dy <= radius * radius:
-                offs.append((dy, dx))
-    return np.asarray(offs, np.int32)
+PATCH_RAW = 39        # raw patch: BRIEF radius 14 + bilinear 1 + blur 3 + c
 
-_DISC = _disc_offsets(PATCH_R)
-
-
-def ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid orientation in degrees (reference IC_Angle,
-    src/ORBextractor.cc:75).  xy: [K,2] level coords."""
+def extract_patches(img: jnp.ndarray, xy: jnp.ndarray,
+                    patch: int = PATCH_RAW) -> jnp.ndarray:
+    """[K, patch, patch] float32 patches centered on integer keypoints.
+    xy: [K,2] level coords (integer-valued).  Out-of-range rows/cols
+    resolve to 0 via the one-hot (no OOB reads possible)."""
     H, W = img.shape
-    y = jnp.clip(xy[:, 1].astype(jnp.int32), PATCH_R, H - PATCH_R - 1)
-    x = jnp.clip(xy[:, 0].astype(jnp.int32), PATCH_R, W - PATCH_R - 1)
-    yy = y[:, None] + _DISC[None, :, 0]
-    xx = x[:, None] + _DISC[None, :, 1]
-    vals = img[yy, xx]                          # [K,|disc|]
-    m10 = jnp.sum(vals * _DISC[None, :, 1], axis=1)
-    m01 = jnp.sum(vals * _DISC[None, :, 0], axis=1)
+    r = patch // 2
+    x0 = xy[:, 0].astype(jnp.int32) - r
+    y0 = xy[:, 1].astype(jnp.int32) - r
+    ii = jnp.arange(patch, dtype=jnp.int32)
+    rows = y0[:, None] + ii[None, :]                       # [K,patch]
+    cols = x0[:, None] + ii[None, :]
+    hh = jnp.arange(H, dtype=jnp.int32)
+    ww = jnp.arange(W, dtype=jnp.int32)
+    U = (rows[:, :, None] == hh[None, None, :]).astype(jnp.bfloat16)
+    V = (cols[:, None, :] == ww[None, :, None]).astype(jnp.bfloat16)
+    T = jnp.einsum("kph,hw->kpw", U, img.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    P = jnp.einsum("kpw,kwq->kpq", T.astype(jnp.bfloat16), V,
+                   preferred_element_type=jnp.float32)
+    return P
+
+
+def _disc_moment_weights(patch: int, radius: int):
+    c = patch // 2
+    d = np.arange(patch) - c
+    mask = (d[:, None] ** 2 + d[None, :] ** 2 <= radius * radius)
+    wx = (mask * d[None, :]).astype(np.float32)
+    wy = (mask * d[:, None]).astype(np.float32)
+    return wx, wy
+
+
+def ic_angle_patch(patches: jnp.ndarray, radius: int = PATCH_R) -> jnp.ndarray:
+    """Intensity-centroid orientation from raw patches (reference IC_Angle,
+    src/ORBextractor.cc:75) — two masked patch reductions."""
+    wx, wy = _disc_moment_weights(patches.shape[-1], radius)
+    m10 = jnp.einsum("kij,ij->k", patches, jnp.asarray(wx))
+    m01 = jnp.einsum("kij,ij->k", patches, jnp.asarray(wy))
     ang = jnp.degrees(jnp.arctan2(m01, m10))
     return jnp.where(ang < 0, ang + 360.0, ang)
+
+
+def blur_patches(patches: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable 7x7 Gaussian, VALID: [K,P,P] -> [K,P-6,P-6] (reference
+    blurs the whole image before descriptors, src/ORBextractor.cc:1115 —
+    blurring only the patches is ~1000x less work)."""
+    r = 3
+    xs = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    k /= k.sum()
+    kh = jnp.asarray(k).reshape(1, 1, 1, 7)
+    kv = jnp.asarray(k).reshape(1, 1, 7, 1)
+    x = patches[:, None]
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), "VALID")
+    return x[:, 0]
 
 
 # --------------------------------------------------------------------------
@@ -215,11 +271,14 @@ def ic_angle(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 @functools.lru_cache()
 def brief_pattern(seed: int = 7, bits: int = DESC_BITS) -> np.ndarray:
     """[bits, 2, 2] (pair of (x,y) offsets), Gaussian sigma = patch/5,
-    clipped to the patch (standard BRIEF recipe; NOT the OpenCV table)."""
+    clipped to the radius-(PATCH_R-1) disc so any in-plane rotation stays
+    inside the patch (standard BRIEF recipe; NOT the OpenCV table)."""
     rng = np.random.default_rng(seed)
     sigma = (2 * PATCH_R + 1) / 5.0
     pts = rng.normal(0.0, sigma, (bits, 2, 2))
-    return np.clip(pts, -PATCH_R + 1, PATCH_R - 1).astype(np.float32)
+    rad = np.linalg.norm(pts, axis=-1, keepdims=True)
+    scale = np.minimum(1.0, (PATCH_R - 1.0) / np.maximum(rad, 1e-9))
+    return (pts * scale).astype(np.float32)
 
 
 def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
@@ -238,36 +297,32 @@ def gaussian_blur7(img: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
     return out[0, 0]
 
 
-def _bilinear(img: jnp.ndarray, y: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    H, W = img.shape
-    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 2)
-    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
-    fx = jnp.clip(x - x0, 0.0, 1.0)
-    fy = jnp.clip(y - y0, 0.0, 1.0)
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
-    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
-            + v10 * (1 - fx) * fy + v11 * fx * fy)
-
-
-def brief_descriptors(img_blur: jnp.ndarray, xy: jnp.ndarray,
-                      angle_deg: jnp.ndarray) -> jnp.ndarray:
-    """Steered BRIEF: rotate the pattern by the keypoint angle, bilinear
-    sample, compare (reference computeOrbDescriptor,
-    src/ORBextractor.cc:106).  Returns [K,256] bfloat16 in {-1,+1}."""
+def brief_descriptors_patch(patches_blur: jnp.ndarray,
+                            angle_deg: jnp.ndarray) -> jnp.ndarray:
+    """Steered BRIEF from blurred patches (reference computeOrbDescriptor,
+    src/ORBextractor.cc:106): rotate the pattern by the keypoint angle,
+    bilinear-sample INSIDE the patch via separable hat-weight matmuls
+    (row interpolation on the MXU, column pick as a weighted reduce) —
+    no gathers.  patches_blur: [K,P,P] with P >= 2*PATCH_R+3.
+    Returns [K,256] bfloat16 in {-1,+1}."""
+    P = patches_blur.shape[-1]
+    c = P // 2
     pat = jnp.asarray(brief_pattern())          # [256,2,2] (x,y)
     th = jnp.radians(angle_deg)
     ca, sa = jnp.cos(th), jnp.sin(th)           # [K]
-    px = pat[None, :, :, 0]                     # [1,256,2]
-    py = pat[None, :, :, 1]
-    rx = ca[:, None, None] * px - sa[:, None, None] * py
-    ry = sa[:, None, None] * px + ca[:, None, None] * py
-    xs = xy[:, None, None, 0] + rx              # [K,256,2]
-    ys = xy[:, None, None, 1] + ry
-    vals = _bilinear(img_blur, ys.reshape(-1), xs.reshape(-1))
-    vals = vals.reshape(xs.shape)               # [K,256,2]
+    px = pat[:, :, 0].reshape(-1)               # [512] bit-major
+    py = pat[:, :, 1].reshape(-1)
+    rx = ca[:, None] * px[None] - sa[:, None] * py[None]   # [K,512]
+    ry = sa[:, None] * px[None] + ca[:, None] * py[None]
+    fy = ry + c
+    fx = rx + c
+    ii = jnp.arange(P, dtype=jnp.float32)
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy[..., None] - ii))  # [K,512,P]
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[..., None] - ii))
+    G = jnp.einsum("ksi,kij->ksj", Wy, patches_blur,
+                   preferred_element_type=jnp.float32)
+    vals = jnp.sum(G * Wx, axis=-1)             # [K,512]
+    vals = vals.reshape(vals.shape[0], DESC_BITS, 2)
     bits = vals[..., 0] < vals[..., 1]
     return (bits.astype(jnp.float32) * 2.0 - 1.0).astype(jnp.bfloat16)
 
@@ -290,14 +345,15 @@ def extract_orb(img: jnp.ndarray, specs: Tuple[LevelSpec, ...],
     all_xy, all_score, all_valid, all_angle, all_oct, all_desc = [], [], [], [], [], []
     for lv, spec in enumerate(specs):
         im = pyr[lv]
-        r_hi = nms3x3(fast_response(im, ini_th))
-        r_lo = nms3x3(fast_response(im, min_th))
+        f_hi, f_lo = fast_response2(im, ini_th, min_th)
+        r_hi = nms3x3(f_hi)
+        r_lo = nms3x3(f_lo)
         # blend: prefer high-threshold corners by boosting their score
         resp = jnp.where(r_hi > 0, r_hi + 1e4, r_lo)
         xy, score, valid = select_grid_topk(resp, spec.n_keep, cell)
-        ang = ic_angle(im, xy)
-        blur = gaussian_blur7(im)
-        desc = brief_descriptors(blur, xy, ang)
+        patches = extract_patches(im, xy)
+        ang = ic_angle_patch(patches)
+        desc = brief_descriptors_patch(blur_patches(patches), ang)
         all_xy.append(xy * spec.scale)          # to level-0 coords
         all_score.append(jnp.where(score > 1e4, score - 1e4, score))
         all_valid.append(valid)
