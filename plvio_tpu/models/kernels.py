@@ -52,7 +52,7 @@ class TrackResult(NamedTuple):
 
 
 
-def solve_spd_cg(H: jnp.ndarray, g: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
+def solve_spd_cg(H: jnp.ndarray, g: jnp.ndarray, iters: int = 6) -> jnp.ndarray:
     """Solve H x = g for small SPD H with fixed-iteration conjugate
     gradients — pure arithmetic, exact for 6x6 within <=6 Krylov steps.
 

@@ -67,6 +67,12 @@ class KeyFrameDatabase:
         keep = order[scores[order] >= min_rel_score * best][:top_n]
         return keep, scores[keep]
 
+    def copy_row_from(self, other: "KeyFrameDatabase", old_kf: int,
+                      new_kf: int) -> None:
+        self.bows[new_kf] = other.bows[old_kf]
+        self.word_ids[new_kf] = other.word_ids[old_kf]
+        self.present[new_kf] = True
+
     def query_grouped(self, desc_packed: np.ndarray, valid: np.ndarray,
                       covis: np.ndarray, kf_valid: np.ndarray,
                       exclude: np.ndarray = None, top_n: int = 3):
@@ -90,3 +96,74 @@ class KeyFrameDatabase:
         group_scores = np.asarray(group_scores)
         order = np.argsort(-group_scores)[:top_n]
         return cands[order], group_scores[order]
+
+
+class AtlasKeyFrameDatabase:
+    """Per-map inverted files over an Atlas.
+
+    The reference keeps ONE KeyFrameDatabase whose entries carry their
+    Map pointer (include/KeyFrameDatabase.h, queried per-map in loop vs
+    merge detection, src/LoopClosing.cc:460-756).  Here keyframe slots
+    are per-MapStore, so each map gets its own dense BoW bank; same-map
+    queries hit one bank, merge detection sweeps the others.  All
+    methods default to the Atlas' active map so single-map call sites
+    stay unchanged.
+    """
+
+    def __init__(self, voc: V.Vocabulary, max_kf: int, n_feat: int, atlas):
+        self.voc = voc
+        self.max_kf = max_kf
+        self.n_feat = n_feat
+        self.atlas = atlas
+        self._dbs = {}
+
+    def db(self, map_id: int = None) -> KeyFrameDatabase:
+        if map_id is None:
+            map_id = self.atlas.current.map_id
+        if map_id not in self._dbs:
+            self._dbs[map_id] = KeyFrameDatabase(
+                self.voc, self.max_kf, self.n_feat)
+        return self._dbs[map_id]
+
+    def add_keyframe(self, kf, desc_packed, valid, map_id=None):
+        return self.db(map_id).add_keyframe(kf, desc_packed, valid)
+
+    def remove_keyframe(self, kf, map_id=None):
+        self.db(map_id).remove_keyframe(kf)
+
+    def query(self, desc_packed, valid, exclude=None, top_n=3,
+              min_rel_score=0.75, map_id=None):
+        return self.db(map_id).query(desc_packed, valid, exclude, top_n,
+                                     min_rel_score)
+
+    def query_grouped(self, desc_packed, valid, covis, kf_valid,
+                      exclude=None, top_n=3, map_id=None):
+        return self.db(map_id).query_grouped(desc_packed, valid, covis,
+                                             kf_valid, exclude, top_n)
+
+    def query_other_maps(self, desc_packed, valid, cur_map_id, top_n=3):
+        """Best candidates from every non-active map, globally ranked
+        (the merge-detection sweep).  Returns [(map_id, kf, score), ...]."""
+        out = []
+        for m in self.atlas.maps:
+            mid = m.map_id
+            if mid == cur_map_id or mid not in self._dbs:
+                continue
+            kfs, scores = self._dbs[mid].query(desc_packed, valid,
+                                               top_n=top_n)
+            out.extend((mid, int(k), float(s))
+                       for k, s in zip(kfs, scores) if m.kf_valid[int(k)])
+        out.sort(key=lambda x: -x[2])
+        return out[:top_n]
+
+    def merge_maps(self, from_id: int, to_id: int,
+                   kf_map: np.ndarray) -> None:
+        """Move `from_id`'s rows into `to_id` under the absorb slot remap."""
+        if from_id not in self._dbs:
+            return
+        src = self._dbs.pop(from_id)
+        dst = self.db(to_id)
+        for old in np.nonzero(src.present)[0]:
+            new = int(kf_map[old])
+            if new >= 0:
+                dst.copy_row_from(src, int(old), new)

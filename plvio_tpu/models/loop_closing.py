@@ -52,8 +52,11 @@ class LoopCloser:
         self._gba_caps = (128, 8192, gba_obs_cap)
         self.mapper = None      # wired by System for inertial full BA
         self.consistency: List[tuple] = []   # (candidate_group, votes)
+        self.merge_votes = {}                # map_id -> consecutive hits
+        self.pending_merge = None            # set after a merge, popped by System
         self._key = jax.random.PRNGKey(cfg.seed + 7)
         self.n_loops_closed = 0
+        self.n_maps_merged = 0
 
     @property
     def map(self) -> MapStore:
@@ -61,8 +64,13 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int) -> bool:
-        """Returns True if a loop was closed."""
+        """Returns True if a loop was closed or a map merge performed."""
         m = self.map
+        # merge detection against other Atlas maps runs even on a young
+        # active map (that is exactly the post-loss recovery situation,
+        # reference NewDetectCommonRegions merge branch :94-133)
+        if m.n_kf >= 5 and self._try_merge(kf):
+            return True
         if m.n_kf < 12:   # reference guard (src/LoopClosing.cc:473)
             return False
         cand = self._detect(kf)
@@ -74,6 +82,34 @@ class LoopCloser:
         self._correct_loop(kf, cand, s, R, t)
         self.n_loops_closed += 1
         return True
+
+    # ------------------------------------------------------------------
+    def _try_merge(self, kf: int) -> bool:
+        """Cross-map candidate sweep + 2-vote consistency + Sim3 verify +
+        merge (reference merge branch of Run_Lines, src/LoopClosing.cc:
+        94-133 -> MergeLocalWithLines :1714 / MergeLocal :2448)."""
+        if not hasattr(self.kfdb, "query_other_maps"):
+            return False
+        m = self.map
+        if len(self.atlas.maps) < 2:
+            return False
+        cands = self.kfdb.query_other_maps(
+            m.kf_feat_desc[kf], m.kf_feat_valid[kf], m.map_id, top_n=3)
+        hit_maps = {mid for mid, _, _ in cands}
+        self.merge_votes = {mid: self.merge_votes.get(mid, 0) + 1
+                            for mid in hit_maps}
+        for mid, cand, score in cands:
+            if self.merge_votes.get(mid, 0) < 2:
+                continue
+            m_old = next(mm for mm in self.atlas.maps if mm.map_id == mid)
+            ok, s, R, t = self._verify_sim3(kf, cand, m2=m_old)
+            if not ok:
+                continue
+            self._merge_maps(kf, cand, m_old, s, R, t)
+            self.merge_votes = {}
+            self.n_maps_merged += 1
+            return True
+        return False
 
     # ------------------------------------------------------------------
     def _detect(self, kf: int) -> Optional[int]:
@@ -114,20 +150,24 @@ class LoopCloser:
         return fired
 
     # ------------------------------------------------------------------
-    def _verify_sim3(self, kf: int, cand: int):
-        """Match map points of kf vs cand by descriptor, robust Sim3
-        (reference: Sim3Solver RANSAC + SearchBySim3)."""
+    def _verify_sim3(self, kf: int, cand: int, m2: MapStore = None):
+        """Match map points of kf (current map) vs cand (same map, or m2
+        for merge) by descriptor, robust Sim3 (reference: Sim3Solver
+        RANSAC + SearchBySim3).  Returned (s, R, t) maps current-map
+        coords into cand's map: X2 ~ s R X1 + t."""
         m = self.map
-        def kf_points(k):
-            match = m.kf_match_pt[k]
+        if m2 is None:
+            m2 = m
+        def kf_points(store, k):
+            match = store.kf_match_pt[k]
             feat = np.nonzero(match >= 0)[0]
             return feat, match[feat]
-        f1, p1 = kf_points(kf)
-        f2, p2 = kf_points(cand)
+        f1, p1 = kf_points(m, kf)
+        f2, p2 = kf_points(m2, cand)
         if len(f1) < 20 or len(f2) < 20:
             return False, None, None, None
         d1 = M.unpack_u32_to_pm1(jnp.asarray(m.kf_feat_desc[kf][f1]))
-        d2 = M.unpack_u32_to_pm1(jnp.asarray(m.kf_feat_desc[cand][f2]))
+        d2 = M.unpack_u32_to_pm1(jnp.asarray(m2.kf_feat_desc[cand][f2]))
         dist = M.hamming_matrix(d1, d2)
         idx, ok = M.match_nn_ratio(dist, jnp.ones(len(f1), bool),
                                    jnp.ones(len(f2), bool), None,
@@ -137,7 +177,7 @@ class LoopCloser:
             return False, None, None, None
         idx_np = np.asarray(idx)
         X1 = m.pt_xyz[p1[ok_np]]                      # drifted (current)
-        X2 = m.pt_xyz[p2[idx_np[ok_np]]]              # old (loop side)
+        X2 = m2.pt_xyz[p2[idx_np[ok_np]]]             # old (loop side)
         pad = 256
         Xp1 = np.zeros((pad, 3), np.float32)
         Xp2 = np.zeros((pad, 3), np.float32)
@@ -377,3 +417,86 @@ class LoopCloser:
         okp = np.all(np.isfinite(pts_out[:len(pt_ids)]), axis=1)
         m.pt_xyz[pt_ids[okp]] = pts_out[:len(pt_ids)][okp]
         m.change_index += 1
+
+    # ------------------------------------------------------------------
+    def _merge_maps(self, kf: int, cand: int, m_old: MapStore,
+                    s, R, t) -> None:
+        """Merge the active map into `m_old` (reference MergeLocal,
+        src/LoopClosing.cc:2448 / inertial MergeLocal2 :3142): re-express
+        the active map under the verified similarity, concatenate the
+        stores, fuse duplicated landmarks around the weld, then weld BA
+        anchored on the old side.  The old map becomes active; the
+        transform + slot remaps are left in `pending_merge` for the
+        tracker to rebind its transient state."""
+        m_cur = self.map
+        cur_id = m_cur.map_id
+        Tbc = None
+        if self.cfg.sensor in (3, 4):
+            Tbc = self.cfg.imu.Tbc_matrix()
+        m_cur.apply_sim3(float(s), R, t, Tbc)
+        kf_map, pt_map, ln_map = m_old.absorb(m_cur)
+        if hasattr(self.kfdb, "merge_maps"):
+            self.kfdb.merge_maps(cur_id, m_old.map_id, kf_map)
+        # atlas bookkeeping: drop the merged-away store, activate m_old
+        merged_index = self.atlas.active
+        self.atlas.maps = [mm for mm in self.atlas.maps
+                           if mm.map_id != cur_id]
+        self.atlas.active = self.atlas.maps.index(m_old)
+        # inherit IMU maturity from the larger parent map
+        m_old.imu_initialized = m_old.imu_initialized or m_cur.imu_initialized
+        m_old.imu_ba1 = m_old.imu_ba1 or m_cur.imu_ba1
+        m_old.imu_ba2 = m_old.imu_ba2 or m_cur.imu_ba2
+
+        kf_new = int(kf_map[kf])
+        self._fuse_duplicates(m_old, kf_new, cand)
+        for k in (kf_new, cand):
+            m_old.update_covisibility(int(k))
+        # weld BA anchored at the old-side candidate (reference: welding
+        # BA over the merge window, then pose graph — our global BA at
+        # merge scale covers both)
+        self.run_global_ba(fixed_kf=cand)
+        self.pending_merge = dict(
+            s=float(s), R=np.asarray(R), t=np.asarray(t),
+            kf_map=kf_map, pt_map=pt_map, ln_map=ln_map,
+            merged_atlas_index=merged_index,
+            new_atlas_index=self.atlas.active)
+        m_old.change_index += 1
+
+    def _fuse_duplicates(self, m: MapStore, kf_new: int, cand: int,
+                         radius: float = 0.15) -> None:
+        """SearchAndFuse analog (reference src/LoopClosing.cc:3497): map
+        points triangulated on the merged-in side that coincide (3D
+        distance + descriptor) with old-side points are replaced by the
+        old ones; observations rebind through a lookup table."""
+        win_new = np.unique(np.concatenate(
+            [[kf_new], m.covisible_kfs(kf_new, n=10, min_weight=5)]))
+        win_old = np.unique(np.concatenate(
+            [[cand], m.covisible_kfs(cand, n=10, min_weight=5)]))
+        win_old = np.setdiff1d(win_old, win_new)
+        pts_new = np.unique(m.kf_match_pt[win_new])
+        pts_new = pts_new[pts_new >= 0]
+        pts_new = pts_new[m.pt_valid[pts_new]]
+        pts_old = np.unique(m.kf_match_pt[win_old])
+        pts_old = pts_old[pts_old >= 0]
+        pts_old = pts_old[m.pt_valid[pts_old]]
+        pts_old = np.setdiff1d(pts_old, pts_new)
+        if len(pts_new) == 0 or len(pts_old) == 0:
+            return
+        d2 = np.sum((m.pt_xyz[pts_new][:, None] -
+                     m.pt_xyz[pts_old][None]) ** 2, -1)
+        dist = np.array(M.hamming_matrix(
+            M.unpack_u32_to_pm1(jnp.asarray(m.pt_desc[pts_new])),
+            M.unpack_u32_to_pm1(jnp.asarray(m.pt_desc[pts_old]))))
+        dist[d2 > radius * radius] = 1e9
+        j = dist.argmin(1)
+        dup = dist[np.arange(len(pts_new)), j] <= 60.0
+        if not dup.any():
+            return
+        lut = np.arange(m.max_pts, dtype=np.int32)
+        lut[pts_new[dup]] = pts_old[j[dup]]
+        mp = m.kf_match_pt
+        m.kf_match_pt = np.where(mp >= 0, lut[np.maximum(mp, 0)],
+                                 INVALID).astype(np.int32)
+        m.pt_n_obs[pts_old[j[dup]]] += m.pt_n_obs[pts_new[dup]]
+        m.pt_valid[pts_new[dup]] = False
+        m.n_pt -= int(dup.sum())

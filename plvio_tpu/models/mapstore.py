@@ -300,6 +300,100 @@ class MapStore:
         self.kf_pose_cw[kfs, :, :3] = R_cw
         self.kf_pose_cw[kfs, :, 3] = t_cw
 
+    def apply_sim3(self, s: float, R: np.ndarray, t: np.ndarray,
+                   Tbc: Optional[np.ndarray] = None) -> None:
+        """Re-express the whole map under the similarity X' = s R X + t
+        (used by map merge, reference MergeLocal's welding transform,
+        src/LoopClosing.cc:2448).  Camera poses update as
+        T_cw' = [R_cw R^T | s t_cw - R_cw R^T t] (projectively identical:
+        pc' = s pc); velocities scale-rotate."""
+        R = np.asarray(R, np.float32)
+        t = np.asarray(t, np.float32)
+        kfs = self.valid_kf_indices()
+        self.pt_xyz[self.pt_valid] = (
+            s * self.pt_xyz[self.pt_valid] @ R.T + t).astype(np.float32)
+        if self.ln_valid.any():
+            ep = self.ln_ep[self.ln_valid].reshape(-1, 3)
+            self.ln_ep[self.ln_valid] = (
+                s * ep @ R.T + t).reshape(-1, 6).astype(np.float32)
+        R_cw = self.kf_pose_cw[kfs, :, :3]
+        t_cw = self.kf_pose_cw[kfs, :, 3]
+        R_new = np.einsum("kij,lj->kil", R_cw, R)       # R_cw R^T
+        self.kf_pose_cw[kfs, :, :3] = R_new
+        self.kf_pose_cw[kfs, :, 3] = s * t_cw - np.einsum(
+            "kij,j->ki", R_new, t)
+        self.kf_vel[kfs] = s * self.kf_vel[kfs] @ R.T
+        if Tbc is not None:
+            self.recompute_body_poses(Tbc)
+        self.change_index += 1
+
+    def absorb(self, other: "MapStore"):
+        """Concatenate `other`'s keyframes/points/lines into this store
+        (the array-native core of a map MERGE, reference
+        LoopClosing::MergeLocal src/LoopClosing.cc:2448 — `other` must
+        already be expressed in this map's world frame via apply_sim3).
+
+        Returns (kf_map, pt_map, ln_map): old-slot -> new-slot index
+        arrays (INVALID where the old slot was not valid)."""
+        kfs = np.nonzero(other.kf_valid)[0]
+        pts = np.nonzero(other.pt_valid)[0]
+        lns = np.nonzero(other.ln_valid)[0]
+        new_kf = np.nonzero(~self.kf_valid)[0][:len(kfs)]
+        if len(new_kf) < len(kfs):
+            raise RuntimeError("keyframe capacity exhausted in merge")
+        new_pt = self.alloc_points(len(pts))
+        new_ln = self.alloc_lines(len(lns))
+        if len(new_pt) < len(pts) or len(new_ln) < len(lns):
+            raise RuntimeError("landmark capacity exhausted in merge")
+        self.kf_valid[new_kf] = True
+        self.n_kf += len(new_kf)
+
+        kf_map = np.full(other.max_kf, INVALID, np.int32)
+        pt_map = np.full(other.max_pts, INVALID, np.int32)
+        ln_map = np.full(other.max_lines, INVALID, np.int32)
+        kf_map[kfs] = new_kf
+        pt_map[pts] = new_pt
+        ln_map[lns] = new_ln
+
+        for f in ("kf_timestamp", "kf_pose_cw", "kf_pose_wb", "kf_vel",
+                  "kf_bias_g", "kf_bias_a", "kf_feat_uv", "kf_feat_octave",
+                  "kf_feat_angle", "kf_feat_desc", "kf_feat_valid",
+                  "kf_line_ep", "kf_line_desc", "kf_line_valid"):
+            getattr(self, f)[new_kf] = getattr(other, f)[kfs]
+        mp = other.kf_match_pt[kfs]
+        self.kf_match_pt[new_kf] = np.where(
+            mp >= 0, pt_map[np.maximum(mp, 0)], INVALID)
+        ml = other.kf_match_ln[kfs]
+        self.kf_match_ln[new_kf] = np.where(
+            ml >= 0, ln_map[np.maximum(ml, 0)], INVALID)
+        prev = other.kf_prev[kfs]
+        self.kf_prev[new_kf] = np.where(prev >= 0,
+                                        kf_map[np.maximum(prev, 0)], INVALID)
+        nxt = other.kf_next[kfs]
+        self.kf_next[new_kf] = np.where(nxt >= 0,
+                                        kf_map[np.maximum(nxt, 0)], INVALID)
+
+        for f in ("pt_xyz", "pt_desc", "pt_normal", "pt_min_dist",
+                  "pt_max_dist", "pt_n_obs", "pt_found", "pt_visible"):
+            getattr(self, f)[new_pt] = getattr(other, f)[pts]
+        fk = other.pt_first_kf[pts]
+        self.pt_first_kf[new_pt] = np.where(fk >= 0,
+                                            kf_map[np.maximum(fk, 0)], INVALID)
+        for f in ("ln_ep", "ln_desc", "ln_n_obs", "ln_found", "ln_visible"):
+            getattr(self, f)[new_ln] = getattr(other, f)[lns]
+        fk = other.ln_first_kf[lns]
+        self.ln_first_kf[new_ln] = np.where(fk >= 0,
+                                            kf_map[np.maximum(fk, 0)], INVALID)
+
+        self.covis[np.ix_(new_kf, new_kf)] = other.covis[np.ix_(kfs, kfs)]
+        for kf_old, kf_new in zip(kfs, new_kf):
+            if kf_old in other.kf_preint:
+                self.kf_preint[int(kf_new)] = other.kf_preint[kf_old]
+            if kf_old in other.kf_imu_raw:
+                self.kf_imu_raw[int(kf_new)] = other.kf_imu_raw[kf_old]
+        self.change_index += 1
+        return kf_map, pt_map, ln_map
+
     def kf_centers(self) -> np.ndarray:
         """Camera centers of all KFs: C = -R^T t."""
         R = self.kf_pose_cw[:, :, :3]
@@ -314,17 +408,20 @@ class Atlas:
     merged back later by loop closing."""
     maps: List[MapStore] = field(default_factory=list)
     active: int = 0
+    next_map_id: int = 1
 
     def __post_init__(self):
         if not self.maps:
             self.maps = [MapStore(map_id=0)]
+        self.next_map_id = max([m.map_id for m in self.maps] + [0]) + 1
 
     @property
     def current(self) -> MapStore:
         return self.maps[self.active]
 
     def create_new_map(self, **kw) -> MapStore:
-        m = MapStore(map_id=len(self.maps), **kw)
+        m = MapStore(map_id=self.next_map_id, **kw)
+        self.next_map_id += 1
         self.maps.append(m)
         self.active = len(self.maps) - 1
         return m

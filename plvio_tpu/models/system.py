@@ -66,10 +66,10 @@ class System:
         # BoW vocabulary + keyframe database (reference: ORBVocabulary +
         # KeyFrameDatabase built in System::System src/System.cc:83-108)
         from . import vocabulary as V
-        from .kfdb import KeyFrameDatabase
+        from .kfdb import AtlasKeyFrameDatabase
         self.vocabulary = V.random_vocabulary(seed=cfg.seed, k=10, depth=4)
-        self.kfdb = KeyFrameDatabase(self.vocabulary, cfg.map.max_keyframes,
-                                     self.n_feat)
+        self.kfdb = AtlasKeyFrameDatabase(
+            self.vocabulary, cfg.map.max_keyframes, self.n_feat, self.atlas)
 
         self.tracker = Tracker(cfg, self.atlas, self.n_feat)
         self.tracker.kfdb = self.kfdb
@@ -201,6 +201,10 @@ class System:
         self.mapper.process_keyframe(kf)
         if self.loop_closer is not None:
             self.loop_closer.process_keyframe(kf)
+            merge = self.loop_closer.pending_merge
+            if merge is not None:
+                self.loop_closer.pending_merge = None
+                self.tracker.on_map_merged(**merge)
         if self.relocalizer is not None:
             self.relocalizer.process_keyframe(kf, m.kf_timestamp[kf])
 

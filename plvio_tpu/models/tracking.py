@@ -434,8 +434,11 @@ class Tracker:
         self.frame_vel = scale * (R_gw @ self.frame_vel)
         # stored frame records hold T_cr relative to their ref KF; under a
         # similarity the rotation is invariant but the translation scales
-        # (reference scales mlRelativeFramePoses in UpdateFrameIMU)
+        # (reference scales mlRelativeFramePoses in UpdateFrameIMU).
+        # Only records anchored in the ACTIVE map are affected.
         for rec in self.frames:
+            if rec.map_id != self.atlas.active:
+                continue
             rec.T_cr = rec.T_cr.copy()
             rec.T_cr[:, 3] *= scale
         m = self.map
@@ -446,6 +449,51 @@ class Tracker:
             self.frame_ba = m.kf_bias_a[newest].copy()
             self.frame_vel = m.kf_vel[newest].copy()
         self.velocity = None  # motion model invalid across the jump
+
+    # ------------------------------------------------------------------
+    def on_map_merged(self, s: float, R: np.ndarray, t: np.ndarray,
+                      kf_map: np.ndarray, pt_map: np.ndarray,
+                      ln_map: np.ndarray, merged_atlas_index: int,
+                      new_atlas_index: int) -> None:
+        """Rebind transient tracking state after loop closing merged the
+        active map into an older Atlas map (reference: after MergeLocal
+        the Tracking thread continues in the merged map,
+        src/LoopClosing.cc:2448ff).  The merged-in map was re-expressed
+        as X' = s R X + t and its slots remapped by kf_map/pt_map."""
+        R = np.asarray(R, np.float32)
+        t = np.asarray(t, np.float32)
+        if self.last_pose_cw is not None:
+            R_cw, t_cw = self.last_pose_cw[:, :3], self.last_pose_cw[:, 3]
+            R_new = R_cw @ R.T
+            self.last_pose_cw = np.concatenate(
+                [R_new, (s * t_cw - R_new @ t)[:, None]], 1).astype(np.float32)
+        if self.velocity is not None:
+            vel = self.velocity.copy()
+            vel[:, 3] *= s
+            self.velocity = vel
+        self.frame_vel = s * (R @ self.frame_vel)
+        if self.last_feat_pt is not None:
+            fp = self.last_feat_pt
+            self.last_feat_pt = np.where(
+                fp >= 0, pt_map[np.maximum(fp, 0)], INVALID).astype(np.int32)
+        if self.last_feat_ln is not None:
+            fl = self.last_feat_ln
+            self.last_feat_ln = np.where(
+                fl >= 0, ln_map[np.maximum(fl, 0)], INVALID).astype(np.int32)
+        if self.ref_kf != INVALID and kf_map[self.ref_kf] >= 0:
+            self.ref_kf = int(kf_map[self.ref_kf])
+        # trajectory records: merged-map records follow their ref KF into
+        # the surviving map (relative translations scale by s); records
+        # in maps behind the removed Atlas slot shift down one index
+        for rec in self.frames:
+            if rec.map_id == merged_atlas_index:
+                rec.map_id = new_atlas_index
+                if kf_map[rec.ref_kf] >= 0:
+                    rec.ref_kf = int(kf_map[rec.ref_kf])
+                rec.T_cr = rec.T_cr.copy()
+                rec.T_cr[:, 3] *= s
+            elif rec.map_id > merged_atlas_index:
+                rec.map_id -= 1
 
     # ------------------------------------------------------------------
     # Frame tracking

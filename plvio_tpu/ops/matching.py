@@ -76,9 +76,12 @@ def match_nn_ratio(dist: jnp.ndarray, valid_a: jnp.ndarray, valid_b: jnp.ndarray
         mask = mask & gate
     d = jnp.where(mask, dist, BIG)
 
+    # NOTE: argmin + masked re-min beats lax.top_k(k=2) ~2x on the axon
+    # TPU backend (measured in scripts/profile_scan.py)
     idx1 = jnp.argmin(d, axis=1)
     best1 = jnp.take_along_axis(d, idx1[:, None], axis=1)[:, 0]
-    d2 = d.at[jnp.arange(d.shape[0]), idx1].set(BIG)
+    cols = jnp.arange(d.shape[1], dtype=jnp.int32)
+    d2 = jnp.where(cols[None, :] == idx1[:, None], BIG, d)
     best2 = jnp.min(d2, axis=1)
 
     ok = (best1 <= max_dist) & (best1 < ratio * best2)

@@ -375,3 +375,57 @@ def optimize(problem: Problem, states, iters: int = 10, lam0: float = 1e-4,
         body, (states, jnp.float32(lam0), cost0), None, length=iters)
     final_cost, chi2s = problem.cost(states)
     return states, final_cost, chi2s
+
+
+# ---------------------------------------------------------------------------
+# Marginalization helpers (reference Optimizer::Marginalize / Condition /
+# Sparsify, include/Optimizer.h:152-156, src/Optimizer.cc tail) — used to
+# turn an information matrix over [kept | marginalized] variables into a
+# prior over the kept ones.  All three are jittable pure functions over
+# dense (H, b); variable selection is by index block [start, end).
+# ---------------------------------------------------------------------------
+
+def _split(H, b, start, end):
+    n = H.shape[0]
+    keep = jnp.concatenate([jnp.arange(0, start), jnp.arange(end, n)])
+    marg = jnp.arange(start, end)
+    return keep, marg
+
+
+def marginalize(H: jnp.ndarray, b: jnp.ndarray, start: int, end: int):
+    """Schur-complement variables [start, end) out of the system
+    (H, b): H' = H_kk - H_km H_mm^+ H_mk, b' = b_k - H_km H_mm^+ b_m.
+    The marginalized block uses a pseudo-inverse via eigen-decomposition
+    (the reference does the same with an SVD threshold) so rank-deficient
+    priors stay valid.  Returns (H', b') of reduced size."""
+    keep, marg = _split(H, b, start, end)
+    Hkk = H[jnp.ix_(keep, keep)]
+    Hkm = H[jnp.ix_(keep, marg)]
+    Hmm = H[jnp.ix_(marg, marg)]
+    bm = b[marg]
+    Hmm = 0.5 * (Hmm + Hmm.T)
+    w, V = jnp.linalg.eigh(Hmm)
+    w_inv = jnp.where(w > 1e-8 * jnp.max(jnp.abs(w)), 1.0 / w, 0.0)
+    Hmm_inv = (V * w_inv[None, :]) @ V.T
+    H_out = Hkk - Hkm @ Hmm_inv @ Hkm.T
+    b_out = b[keep] - Hkm @ (Hmm_inv @ bm)
+    return 0.5 * (H_out + H_out.T), b_out
+
+
+def condition(H: jnp.ndarray, b: jnp.ndarray, start: int, end: int):
+    """Condition on variables [start, end): treat them as fixed at the
+    linearization point — simply drop their rows/columns (reference
+    Optimizer::Condition)."""
+    keep, _ = _split(H, b, start, end)
+    return H[jnp.ix_(keep, keep)], b[keep]
+
+
+def sparsify(H: jnp.ndarray, block: int):
+    """Block-diagonal (Markov-blanket) approximation of an information
+    matrix: keep `block`-sized diagonal blocks, zero the cross terms
+    (reference Optimizer::Sparsify keeps the selected sparsity pattern).
+    The result is the closest block-diagonal matrix in Frobenius norm."""
+    n = H.shape[0]
+    ids = jnp.arange(n) // block
+    mask = (ids[:, None] == ids[None, :]).astype(H.dtype)
+    return H * mask

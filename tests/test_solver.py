@@ -209,3 +209,36 @@ def test_line_residual_convergence(rng):
     states, cost, _ = E.optimize(prob, {"pose": P0[None]}, iters=12)
     np.testing.assert_allclose(np.asarray(states["pose"][0]),
                                np.asarray(P_gt), atol=5e-4)
+
+
+def test_marginalize_condition_sparsify():
+    """Marginalization = Schur complement: solving the reduced system must
+    give the same kept-variable solution as solving the full system."""
+    import numpy as np
+    import jax.numpy as jnp
+    from plvio_tpu.solver import engine as E
+
+    rng = np.random.default_rng(3)
+    n, m = 6, 4
+    A = rng.normal(size=(n + m, n + m))
+    H = A @ A.T + (n + m) * np.eye(n + m)
+    b = rng.normal(size=n + m)
+    x_full = np.linalg.solve(H, b)
+
+    # marginalize the TAIL block [n, n+m)
+    H_r, b_r = E.marginalize(jnp.asarray(H, jnp.float32),
+                             jnp.asarray(b, jnp.float32), n, n + m)
+    x_kept = np.linalg.solve(np.asarray(H_r, np.float64),
+                             np.asarray(b_r, np.float64))
+    assert np.allclose(x_kept, x_full[:n], atol=1e-4), (x_kept, x_full[:n])
+
+    # conditioning just drops the block
+    H_c, b_c = E.condition(jnp.asarray(H, jnp.float32),
+                           jnp.asarray(b, jnp.float32), n, n + m)
+    assert np.allclose(np.asarray(H_c), H[:n, :n], atol=1e-5)
+    assert np.allclose(np.asarray(b_c), b[:n], atol=1e-6)
+
+    # sparsify keeps 3x3 diagonal blocks only
+    Hs = np.asarray(E.sparsify(jnp.asarray(H, jnp.float32), 5))
+    assert np.allclose(Hs[:5, :5], H[:5, :5], atol=1e-5)
+    assert np.all(Hs[:5, 5:] == 0)
