@@ -411,25 +411,32 @@ def make_line_triangulator(K: PinholeK, cap: int):
     return run
 
 
-def make_pose_graph_optimizer(n_kf: int, n_edges: int, iters: int = 15):
+def make_pose_graph_optimizer(n_kf: int, n_edges: int, iters: int = 15,
+                              four_dof: bool = False):
     """Essential-graph Sim3 optimization (reference
     Optimizer::OptimizeEssentialGraph, src/Optimizer.cc:6952): per-KF
     Sim3 states S_iw, edges measuring relative similarities (spanning
     tree + covisibility + loop edges), loop-side and fixed KFs held.
+    With `four_dof=True` vertex updates are restricted to world
+    translation + yaw with scale pinned — the inertial pose graph
+    (reference OptimizeEssentialGraph4DoF, src/Optimizer.cc:14411),
+    since gravity observability pins roll/pitch and IMU init pins scale.
 
     run(sim3_states [n_kf,13], kf_free [n_kf], edge_i [n_edges],
         edge_j [n_edges], edge_Rji [n_edges,3,3], edge_tji [n_edges,3],
         edge_sji [n_edges], edge_valid [n_edges], edge_info [n_edges])
     -> sim3_states
     """
+    retract = RES.retract_sim3_4dof if four_dof else RES.retract_sim3
+    edge_fn = RES.sim3_edge_4dof if four_dof else RES.sim3_edge
 
     @jax.jit
     def run(states13, kf_free, edge_i, edge_j, Rji, tji, sji,
             edge_valid, edge_info):
         prob = E.Problem()
-        prob.add_dense("sim3", n_kf, 7, RES.retract_sim3)
+        prob.add_dense("sim3", n_kf, 7, retract)
         prob.add_term(E.Term(
-            name="sim3", res_fn=RES.sim3_edge, rdim=7,
+            name="sim3", res_fn=edge_fn, rdim=7,
             dense_refs=[("sim3", edge_i), ("sim3", edge_j)],
             const={"Rji": Rji, "tji": tji, "sji": sji},
             mask=edge_valid, info=edge_info))

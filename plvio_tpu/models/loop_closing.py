@@ -47,6 +47,8 @@ class LoopCloser:
         self.pg_kf_cap = pg_kf_cap
         self.pg_edge_cap = pg_edge_cap
         self.pose_graph = KN.make_pose_graph_optimizer(pg_kf_cap, pg_edge_cap)
+        self.pose_graph_4dof = KN.make_pose_graph_optimizer(
+            pg_kf_cap, pg_edge_cap, four_dof=True)
         # GBA reuses the local-BA kernel at global capacities
         self.gba_kernel = None  # built lazily (big compile)
         self._gba_caps = (128, 8192, gba_obs_cap)
@@ -79,6 +81,9 @@ class LoopCloser:
         ok, s, R, t = self._verify_sim3(kf, cand)
         if not ok:
             return False
+        ok, s, R, t = self._inertial_gate(s, R, t, m)
+        if not ok:
+            return False
         self._correct_loop(kf, cand, s, R, t)
         self.n_loops_closed += 1
         return True
@@ -105,6 +110,10 @@ class LoopCloser:
             ok, s, R, t = self._verify_sim3(kf, cand, m2=m_old)
             if not ok:
                 continue
+            if m.imu_initialized and m_old.imu_initialized:
+                ok, s, R, t = self._inertial_gate(s, R, t, m)
+                if not ok:
+                    continue
             self._merge_maps(kf, cand, m_old, s, R, t)
             self.merge_votes = {}
             self.n_maps_merged += 1
@@ -197,6 +206,26 @@ class LoopCloser:
         if not (0.5 < s < 2.0):   # scale sanity (reference :96-106)
             return False, None, None, None
         return True, s, np.asarray(R), np.asarray(t)
+
+    # ------------------------------------------------------------------
+    def _inertial_gate(self, s, R, t, m: MapStore):
+        """Inertial loop/merge corrections must be gravity-consistent:
+        the world-to-world correction may only rotate about gravity
+        (yaw); roll/pitch drift would contradict the IMU.  Reject
+        corrections with roll/pitch >= 0.008 rad or yaw >= 0.349 rad,
+        then — once VIBA2 has pinned scale — force yaw-only with unit
+        scale (reference src/LoopClosing.cc:173-198)."""
+        if not m.imu_initialized:
+            return True, s, R, t
+        phi = np.asarray(lie.so3_log(jnp.asarray(R, jnp.float32)))
+        if (abs(phi[0]) >= 0.008 or abs(phi[1]) >= 0.008
+                or abs(phi[2]) >= 0.349):
+            return False, s, R, t
+        if m.imu_ba2:
+            Ryaw = np.asarray(lie.so3_exp(
+                jnp.asarray([0.0, 0.0, float(phi[2])], jnp.float32)))
+            return True, 1.0, Ryaw, t
+        return True, s, R, t
 
     # ------------------------------------------------------------------
     def _correct_loop(self, kf: int, cand: int, s, R, t) -> None:

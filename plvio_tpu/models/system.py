@@ -61,7 +61,8 @@ class System:
         if cfg.use_lines:
             from ..ops import lines as LN
             self.extract_lines = LN.make_line_extractor(
-                cam.height, cam.width, max_lines=256)
+                cam.height, cam.width, max_lines=256,
+                detector=cfg.line.detector)
 
         # BoW vocabulary + keyframe database (reference: ORBVocabulary +
         # KeyFrameDatabase built in System::System src/System.cc:83-108)
@@ -142,10 +143,25 @@ class System:
             fL.uv, fL.desc, fL.octave, fL.valid,
             fR.uv, fR.desc, fR.octave, fR.valid, bf)
         depth_np = np.where(np.asarray(has), np.asarray(depth), -1.0)
-        line_feats = self._extract_frame_lines(imgL)
+        line_feats, line_depth = None, None
+        if self.extract_lines is not None:
+            # stereo line matching on RAW (rectified) coords of both views
+            # (reference Frame::ComputeStereoMatches_Lines src/Frame.cc:1408)
+            lfL = self.extract_lines(imgL)
+            lfR = self.extract_lines(imgR)
+            ds, de, lhas = ST.match_stereo_lines(
+                lfL.ep, lfL.desc, lfL.angle, lfL.valid,
+                lfR.ep, lfR.desc, lfR.angle, lfR.valid, bf)
+            line_depth = (np.asarray(ds), np.asarray(de), np.asarray(lhas))
+            from ..ops import lines as LN
+            sp = CAM.undistort_pixels(self.camera, lfL.ep[:, :2])
+            ep = CAM.undistort_pixels(self.camera, lfL.ep[:, 2:])
+            ep4 = jnp.concatenate([sp, ep], -1)
+            line_feats = lfL._replace(ep=ep4, lineq=LN.line_equation(ep4))
         pose = self.tracker.process_frame(fL, timestamp, imu=imu,
                                           line_feats=line_feats,
-                                          depth=depth_np)
+                                          depth=depth_np,
+                                          line_depth=line_depth)
         self._drain_keyframes()
         self._apply_pending_transform()
         return pose
@@ -217,6 +233,27 @@ class System:
             self._process_kf(kf)
 
     # ------------------------------------------------------------------
+    def activate_localization_mode(self) -> None:
+        """Freeze the map and run tracking-only (reference
+        System::ActivateLocalizationMode include/System.h:126,
+        src/System.cc — pauses LocalMapping and sets mbOnlyTracking)."""
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self) -> None:
+        """Resume full SLAM (reference System::DeactivateLocalizationMode
+        include/System.h:128)."""
+        self.tracker.only_tracking = False
+
+    def reset_active_map(self) -> None:
+        """reference System::ResetActiveMap src/System.cc — restart the
+        active map in place (tracker loss path does this implicitly)."""
+        was = self.tracker.only_tracking
+        self.tracker.only_tracking = False
+        try:
+            self.tracker._handle_lost()
+        finally:
+            self.tracker.only_tracking = was
+
     def shutdown(self):
         """reference System::Shutdown src/System.cc:660."""
         self._stop.set()

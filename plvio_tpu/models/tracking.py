@@ -105,6 +105,12 @@ class Tracker:
         self.frame_bg = np.zeros(3, np.float32)
         self.frame_ba = np.zeros(3, np.float32)
 
+        # localization-only mode: track against the frozen map, never
+        # insert keyframes or new landmarks (reference mbOnlyTracking,
+        # System::ActivateLocalizationMode include/System.h:126-128,
+        # src/Tracking.cc "pure localization" branches)
+        self.only_tracking = False
+
         self.state = TrackState.NO_IMAGES_YET
         self.last_feats: Optional[Features] = None
         self.last_pose_cw: Optional[np.ndarray] = None       # [3,4]
@@ -165,7 +171,8 @@ class Tracker:
     def process_frame(self, feats: Features, timestamp: float,
                       imu: Optional[tuple] = None,
                       line_feats=None,
-                      depth: Optional[np.ndarray] = None) -> Optional[np.ndarray]:
+                      depth: Optional[np.ndarray] = None,
+                      line_depth: Optional[tuple] = None) -> Optional[np.ndarray]:
         """Returns T_cw [3,4] or None while not tracking.  `imu` is an
         optional (gyro [k,3], acc [k,3], dt [k]) batch since last frame;
         `line_feats` an optional ops.lines.LineFeatures; `depth` an
@@ -175,6 +182,7 @@ class Tracker:
         self._frame_imu = None
         self._frame_lines = line_feats
         self._frame_depth = depth
+        self._frame_line_depth = line_depth
         if self.use_imu and imu is not None:
             self.grab_imu(*imu)
             self._frame_imu = imu
@@ -187,7 +195,11 @@ class Tracker:
                 return self.last_pose_cw
             return None
 
-        ok = self._track_frame(feats, timestamp)
+        if self.state == TrackState.LOST and self.only_tracking:
+            # pure localization re-entry: relocalize against the frozen map
+            ok = self._relocalize(feats)
+        else:
+            ok = self._track_frame(feats, timestamp)
         if not ok and self.state == TrackState.RECENTLY_LOST:
             # in-map relocalization: BoW candidates + PnP RANSAC
             # (reference Tracking::Relocalization src/Tracking.cc:5744)
@@ -342,6 +354,8 @@ class Tracker:
         m.pt_n_obs[pts] = 1
         m.pt_found[pts] = 1
         m.pt_visible[pts] = 1
+        if self._frame_line_depth is not None:
+            self._create_depth_lines(kf)
         self.ref_kf = kf
         self.last_feats = feats
         self.last_pose_cw = np.eye(3, 4, dtype=np.float32)
@@ -385,6 +399,44 @@ class Tracker:
         m.pt_n_obs[pts] = 1
         m.pt_found[pts] = 1
         m.pt_visible[pts] = 1
+
+    def _create_depth_lines(self, kf: int) -> None:
+        """Stereo/RGB-D map-line seeding: the rectified stereo line match
+        gives both endpoint depths, so the 3D line lands directly without
+        two-view triangulation (reference: ComputeStereoMatches_Lines
+        src/Frame.cc:1408 feeding stereo KF line creation)."""
+        lf = self._frame_lines
+        if lf is None or self._frame_line_depth is None:
+            return
+        m = self.map
+        ds, de, has = self._frame_line_depth
+        nl = min(m.n_line_feat, lf.ep.shape[0])
+        unbound = (m.kf_match_ln[kf, :nl] == INVALID) & m.kf_line_valid[kf, :nl]
+        zok = lambda z: (z[:nl] > 0.1) & (z[:nl] < 40.0)
+        good = unbound & has[:nl] & zok(ds) & zok(de)
+        ids = np.nonzero(good)[0][:128]
+        if len(ids) == 0:
+            return
+        lns = m.alloc_lines(len(ids))
+        ids = ids[:len(lns)]
+        ep = np.asarray(lf.ep)[:nl]     # undistorted (x0,y0,x1,y1)
+
+        def backproj(uv, z):
+            return np.stack([(uv[:, 0] - self.K.cx) / self.K.fx * z,
+                             (uv[:, 1] - self.K.cy) / self.K.fy * z, z], -1)
+        Xs = backproj(ep[ids, :2], ds[ids])
+        Xe = backproj(ep[ids, 2:], de[ids])
+        R_cw = m.kf_pose_cw[kf, :, :3]
+        t_cw = m.kf_pose_cw[kf, :, 3]
+        to_w = lambda Xc: (Xc - t_cw) @ R_cw
+        m.ln_ep[lns] = np.concatenate(
+            [to_w(Xs), to_w(Xe)], -1).astype(np.float32)
+        m.ln_desc[lns] = m.kf_line_desc[kf][ids]
+        m.ln_first_kf[lns] = kf
+        m.kf_match_ln[kf, ids] = lns
+        m.ln_n_obs[lns] = 1
+        m.ln_found[lns] = 1
+        m.ln_visible[lns] = 1
 
     def _store_kf_features(self, kf: int, f: Features,
                            lf=None) -> None:
@@ -667,6 +719,14 @@ class Tracker:
         (CreateMapInAtlas :3350) — to be merged back by loop closing; a
         small young map is simply reset."""
         m = self.map
+        if self.only_tracking:
+            # pure localization: never touch the map — stay LOST and keep
+            # trying to relocalize against the frozen map (reference
+            # src/Tracking.cc localization-mode loss branch)
+            self.state = TrackState.LOST
+            self.velocity = None
+            self.lost_count = 0
+            return
         if m.n_kf > 10:
             self.atlas.create_new_map(
                 max_kf=m.max_kf, max_pts=m.max_pts, max_lines=m.max_lines,
@@ -746,6 +806,8 @@ class Tracker:
         """Simplified NeedNewKeyFrame (reference src/Tracking.cc:4552):
         insert when tracked inliers fall below a fraction of the reference
         KF's matches or the frame gap is large."""
+        if self.only_tracking:   # pure localization never maps
+            return False
         m = self.map
         ref_matches = int((m.kf_match_pt[self.ref_kf] >= 0).sum())
         gap = self.frame_idx - self.last_kf_frame_idx
@@ -777,6 +839,8 @@ class Tracker:
         if self._frame_depth is not None:
             self._create_depth_points(kf, feats)
             m.update_covisibility(kf)
+        if self._frame_line_depth is not None:
+            self._create_depth_lines(kf)
         self.ref_kf = kf
         self.last_kf_frame_idx = self.frame_idx
         self.new_kf_queue.append(kf)

@@ -203,6 +203,182 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256,
 
 
 # --------------------------------------------------------------------------
+# ED-style detector (reference `extractor==1`: EDLines,
+# Thirdparty/line_descriptor/src/ED_Lib/EDLines.cpp): anchors = gradient
+# local maxima across the edge normal, then fixed-budget walks along the
+# edge direction from each anchor (Edge-Drawing's "smart routing" as a
+# vmapped lax.scan), then a total-least-squares line fit over the walked
+# points with an RMS-deviation validation gate (the NFA-style line-fit
+# check), then overlap NMS.  Pixel-level walks, unlike the cell-cluster
+# LSD-like path above — recovers short/curved-adjacent structure the
+# cell detector merges away.
+# --------------------------------------------------------------------------
+
+def _bilinear(a: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray):
+    """Bilinear sample of [H,W] image at float (x, y) batches."""
+    H, W = a.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = a[y0, x0]
+    v01 = a[y0, x0 + 1]
+    v10 = a[y0 + 1, x0]
+    v11 = a[y0 + 1, x0 + 1]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+def detect_lines_ed(img: jnp.ndarray, max_lines: int = 256,
+                    grad_th: float = 12.0, anchor_th: float = 4.0,
+                    n_anchors: int = 512, walk_steps: int = 48,
+                    turn_tol: float = 0.45, fit_tol: float = 1.4,
+                    min_length: float = 12.0):
+    """EDLines-analog detector.  Same return contract as `detect_lines`:
+    (ep [L,4], angle [L], length [L], valid [L], (gx, gy))."""
+    H, W = img.shape
+    gx, gy = _gradients(img)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    interior = (ys >= 4) & (ys < H - 4) & (xs >= 4) & (xs < W - 4)
+    mag = jnp.where(interior, mag, 0.0)
+
+    # ---- anchors: local maxima across the edge normal ------------------
+    horiz = jnp.abs(gx) >= jnp.abs(gy)      # vertical-ish edge
+    shl = jnp.pad(mag, ((0, 0), (1, 0)))[:, :-1]
+    shr = jnp.pad(mag, ((0, 0), (0, 1)))[:, 1:]
+    shu = jnp.pad(mag, ((1, 0), (0, 0)))[:-1]
+    shd = jnp.pad(mag, ((0, 1), (0, 0)))[1:]
+    nms = jnp.where(horiz, (mag > shl) & (mag >= shr),
+                    (mag > shu) & (mag >= shd))
+    anchor_score = jnp.where(nms & (mag > grad_th + anchor_th), mag, 0.0)
+    # spatial spread: one candidate anchor per 8x8 cell, then global top-K
+    CB = 8
+    Hc, Wc = H // CB, W // CB
+    cells = anchor_score[:Hc * CB, :Wc * CB] \
+        .reshape(Hc, CB, Wc, CB).transpose(0, 2, 1, 3).reshape(Hc * Wc, CB * CB)
+    cell_best = cells.argmax(-1)
+    cell_score = jnp.take_along_axis(cells, cell_best[:, None], -1)[:, 0]
+    crow = jnp.arange(Hc * Wc) // Wc
+    ccol = jnp.arange(Hc * Wc) % Wc
+    ax = (ccol * CB + cell_best % CB).astype(jnp.float32)
+    ay = (crow * CB + cell_best // CB).astype(jnp.float32)
+    top_s, top_i = jax.lax.top_k(cell_score, n_anchors)
+    ax = ax[top_i]
+    ay = ay[top_i]
+    alive0 = top_s > 0.0
+
+    # ---- walks: from each anchor, ±walk_steps along the edge ----------
+    def edge_dir(x, y):
+        """Unit edge direction (perp to gradient) at float positions."""
+        gxx = _bilinear(gx, x, y)
+        gyy = _bilinear(gy, x, y)
+        n = jnp.sqrt(gxx * gxx + gyy * gyy)
+        return jnp.where(n > 1e-6, -gyy / jnp.maximum(n, 1e-6), 1.0), \
+            jnp.where(n > 1e-6, gxx / jnp.maximum(n, 1e-6), 0.0)
+
+    dx0, dy0 = edge_dir(ax, ay)
+
+    def walk(sign):
+        def step(carry, _):
+            x, y, dx, dy, live = carry
+            # smart routing: probe straight and ±~25 deg
+            c, s = 0.906, 0.423
+            cands = [(dx, dy),
+                     (c * dx - s * dy, s * dx + c * dy),
+                     (c * dx + s * dy, -s * dx + c * dy)]
+            mags = jnp.stack([_bilinear(mag, x + cdx, y + cdy)
+                              for cdx, cdy in cands])     # [3,A]
+            best = mags.argmax(0)
+            cdx = jnp.stack([cd[0] for cd in cands])[best, jnp.arange(x.shape[0])]
+            cdy = jnp.stack([cd[1] for cd in cands])[best, jnp.arange(x.shape[0])]
+            nx_, ny_ = x + cdx, y + cdy
+            # realign to the local edge direction (sign-matched)
+            ex, ey = edge_dir(nx_, ny_)
+            flip = (ex * cdx + ey * cdy) < 0
+            ex = jnp.where(flip, -ex, ex)
+            ey = jnp.where(flip, -ey, ey)
+            # stop on weak gradient or a sharp turn
+            m = _bilinear(mag, nx_, ny_)
+            turn = ex * dx + ey * dy
+            live = live & (m > grad_th) & (turn > jnp.cos(turn_tol + 0.5))
+            x = jnp.where(live, nx_, x)
+            y = jnp.where(live, ny_, y)
+            dx = jnp.where(live, ex, dx)
+            dy = jnp.where(live, ey, dy)
+            return (x, y, dx, dy, live), (x, y, live)
+
+        init = (ax, ay, sign * dx0, sign * dy0, alive0)
+        _, (xs_, ys_, lv) = jax.lax.scan(step, init, None, length=walk_steps)
+        return xs_.T, ys_.T, lv.T                     # [A, steps]
+
+    fx, fy, flv = walk(1.0)
+    bx, by, blv = walk(-1.0)
+    px = jnp.concatenate([bx[:, ::-1], ax[:, None], fx], 1)   # [A, P]
+    py = jnp.concatenate([by[:, ::-1], ay[:, None], fy], 1)
+    w = jnp.concatenate([blv[:, ::-1], alive0[:, None], flv], 1
+                        ).astype(jnp.float32)
+
+    # ---- weighted TLS line fit + validation ----------------------------
+    wsum = jnp.maximum(w.sum(1), 1e-6)
+    mx = (w * px).sum(1) / wsum
+    my = (w * py).sum(1) / wsum
+    ux = px - mx[:, None]
+    uy = py - my[:, None]
+    sxx = (w * ux * ux).sum(1)
+    sxy = (w * ux * uy).sum(1)
+    syy = (w * uy * uy).sum(1)
+    tr = sxx + syy
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - (sxx * syy - sxy * sxy), 0.0))
+    l1 = tr / 2 + disc
+    vx = sxy
+    vy = l1 - sxx
+    vn = jnp.sqrt(vx * vx + vy * vy)
+    vx = jnp.where(vn > 1e-6, vx / jnp.maximum(vn, 1e-6), 1.0)
+    vy = jnp.where(vn > 1e-6, vy / jnp.maximum(vn, 1e-6), 0.0)
+    proj = ux * vx[:, None] + uy * vy[:, None]
+    perp = -ux * vy[:, None] + uy * vx[:, None]
+    rms = jnp.sqrt((w * perp * perp).sum(1) / wsum)
+    pmin = jnp.where(w > 0, proj, 1e9).min(1)
+    pmax = jnp.where(w > 0, proj, -1e9).max(1)
+    length = pmax - pmin
+    ok = alive0 & (rms < fit_tol) & (length >= min_length) & (wsum >= 8)
+
+    x1 = mx + pmin * vx
+    y1 = my + pmin * vy
+    x2 = mx + pmax * vx
+    y2 = my + pmax * vy
+    ang = jnp.arctan2(y2 - y1, x2 - x1) % jnp.pi
+
+    # ---- overlap NMS: suppress shorter near-duplicate segments ---------
+    midx = (x1 + x2) / 2
+    midy = (y1 + y2) / 2
+    dang = jnp.abs(ang[:, None] - ang[None, :]) % jnp.pi
+    dang = jnp.minimum(dang, jnp.pi - dang)
+    # midpoint of i near the (infinite) line of j AND along j's span
+    rx = midx[:, None] - midx[None, :]
+    ry = midy[:, None] - midy[None, :]
+    perp_ij = jnp.abs(-rx * vy[None, :] + ry * vx[None, :])
+    along_ij = jnp.abs(rx * vx[None, :] + ry * vy[None, :])
+    dup = (dang < 0.1) & (perp_ij < 2.5) \
+        & (along_ij < (length[None, :] + length[:, None]) / 2)
+    better = (length[None, :] > length[:, None]) \
+        | ((length[None, :] == length[:, None])
+           & (jnp.arange(n_anchors)[None, :] < jnp.arange(n_anchors)[:, None]))
+    suppressed = (dup & better & ok[None, :]).any(1)
+    ok = ok & ~suppressed
+
+    score = jnp.where(ok, length, 0.0)
+    top_score, r = jax.lax.top_k(score, max_lines)
+    valid = top_score > 0.0
+    ep = jnp.stack([x1[r], y1[r], x2[r], y2[r]], -1)
+    return ep, ang[r], top_score, valid, (gx, gy)
+
+
+# --------------------------------------------------------------------------
 # LBD-style banded descriptor
 # --------------------------------------------------------------------------
 
@@ -299,16 +475,21 @@ def line_equation(ep: jnp.ndarray) -> jnp.ndarray:
 
 
 def extract_lines(img: jnp.ndarray, max_lines: int = 256,
-                  **kw) -> LineFeatures:
-    """Full line front end: detect + LBD + line equations."""
-    ep, ang, length, valid, (gx, gy) = detect_lines(img, max_lines, **kw)
+                  detector: int = 0, **kw) -> LineFeatures:
+    """Full line front end: detect + LBD + line equations.  `detector`
+    selects the LSD-like cell detector (0) or the EDLines-like
+    anchor-walk detector (1) — the reference's `extractor` YAML flag
+    (src/LineExtractor.cc:45-60)."""
+    det = detect_lines_ed if detector == 1 else detect_lines
+    ep, ang, length, valid, (gx, gy) = det(img, max_lines, **kw)
     desc = lbd_descriptors(gx, gy, ep, valid)
     return LineFeatures(ep=ep, angle=ang, length=length,
                         lineq=line_equation(ep), desc=desc, valid=valid)
 
 
-def make_line_extractor(height: int, width: int, max_lines: int = 256):
+def make_line_extractor(height: int, width: int, max_lines: int = 256,
+                        detector: int = 0):
     @jax.jit
     def run(img):
-        return extract_lines(img, max_lines)
+        return extract_lines(img, max_lines, detector=detector)
     return run

@@ -331,6 +331,30 @@ def retract_sim3(S: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(one)(S, d)
 
 
+_SIM3_4DOF_MASK = (1.0, 1.0, 1.0, 0.0, 0.0, 1.0, 0.0)  # rho free, yaw free
+
+
+def retract_sim3_4dof_single(S: jnp.ndarray, d: jnp.ndarray):
+    """World-frame (right) 4-DoF perturbation of S_iw: translation plus
+    yaw about the world z (gravity) axis; roll/pitch/scale frozen.
+    Used for inertial pose graphs where gravity pins roll/pitch and IMU
+    init pins scale (reference Optimizer::OptimizeEssentialGraph4DoF,
+    src/Optimizer.cc:14411; g2o VertexPose4DoF include/G2oTypes.h:152)."""
+    R, t, s = sim3_from_flat(S)
+    dm = d * jnp.asarray(_SIM3_4DOF_MASK, d.dtype)
+    dR, dt, _ = lie.sim3_exp(dm)
+    # S' = S ∘ dS_w (perturbation applied to world points first):
+    # X_i = s R (dR X_w + dt) + t
+    return R @ dR, s * (R @ dt) + t, s
+
+
+def retract_sim3_4dof(S: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    def one(Si, di):
+        R, t, s = retract_sim3_4dof_single(Si, di)
+        return sim3_to_flat(lie.so3_normalize(R), t, s)
+    return jax.vmap(one)(S, d)
+
+
 def sim3_edge(blocks, deltas, const):
     """r[7] = log( S_ji_meas * S_i * S_j^{-1} ).
     const = {'Rji','tji','sji'} the measured relative similarity."""
@@ -343,6 +367,21 @@ def sim3_edge(blocks, deltas, const):
     # S_i * S_j^{-1}
     R1, t1, s1 = lie.sim3_mul(Ri, ti, si, Rj_inv, tj_inv, sj_inv)
     # S_ji * (S_i S_j^{-1})
+    R2, t2, s2 = lie.sim3_mul(const["Rji"], const["tji"], const["sji"],
+                              R1, t1, s1)
+    return lie.sim3_log(R2, t2, s2)
+
+
+def sim3_edge_4dof(blocks, deltas, const):
+    """4-DoF variant of `sim3_edge`: both vertex perturbations restricted
+    to world translation + yaw, scale pinned (reference Edge4DoF
+    include/G2oTypes.h:978 used by OptimizeEssentialGraph4DoF)."""
+    Si_, Sj_ = blocks
+    di, dj = deltas
+    Ri, ti, si = retract_sim3_4dof_single(Si_, di)
+    Rj, tj, sj = retract_sim3_4dof_single(Sj_, dj)
+    Rj_inv, tj_inv, sj_inv = lie.sim3_inv(Rj, tj, sj)
+    R1, t1, s1 = lie.sim3_mul(Ri, ti, si, Rj_inv, tj_inv, sj_inv)
     R2, t2, s2 = lie.sim3_mul(const["Rji"], const["tji"], const["sji"],
                               R1, t1, s1)
     return lie.sim3_log(R2, t2, s2)

@@ -1,0 +1,80 @@
+"""Line detector unit tests: both the LSD-like cell detector and the
+EDLines-like anchor-walk detector (reference `extractor` flag 0/1,
+src/LineExtractor.cc:45-60) must recover drawn segments."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from plvio_tpu.ops import lines as LN
+
+
+def _draw_segments(H=240, W=320, segs=(), width=2.0, contrast=80.0):
+    """Render bright anti-aliased segments on a mid-gray noisy background."""
+    img = np.full((H, W), 100.0, np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    for (x0, y0, x1, y1) in segs:
+        dx, dy = x1 - x0, y1 - y0
+        L = np.hypot(dx, dy)
+        ux, uy = dx / L, dy / L
+        t = (xx - x0) * ux + (yy - y0) * uy
+        d = np.abs(-(xx - x0) * uy + (yy - y0) * ux)
+        on = (t >= 0) & (t <= L) & (d <= width)
+        img[on] += contrast * np.maximum(0.0, 1.0 - d[on] / width)
+    return img
+
+
+SEGS = [(40.0, 50.0, 260.0, 60.0),     # near-horizontal
+        (80.0, 200.0, 90.0, 40.0),     # near-vertical
+        (150.0, 80.0, 280.0, 200.0)]   # diagonal
+
+
+def _recall(ep, valid, segs, tol_px=6.0, tol_ang=0.12):
+    ep = np.asarray(ep)[np.asarray(valid)]
+    found = 0
+    for (x0, y0, x1, y1) in segs:
+        ga = np.arctan2(y1 - y0, x1 - x0) % np.pi
+        gm = np.array([(x0 + x1) / 2, (y0 + y1) / 2])
+        for e in ep:
+            a = np.arctan2(e[3] - e[1], e[2] - e[0]) % np.pi
+            da = min(abs(a - ga), np.pi - abs(a - ga))
+            m = np.array([(e[0] + e[2]) / 2, (e[1] + e[3]) / 2])
+            # midpoint of GT near the detected infinite line
+            u = np.array([np.cos(a), np.sin(a)])
+            perp = abs(-(gm[0] - m[0]) * u[1] + (gm[1] - m[1]) * u[0])
+            if da < tol_ang and perp < tol_px:
+                found += 1
+                break
+    return found
+
+
+@pytest.mark.parametrize("detector", [0, 1])
+def test_detects_drawn_segments(rng, detector):
+    img = _draw_segments(segs=SEGS)
+    img += rng.normal(0, 2.0, img.shape).astype(np.float32)
+    det = LN.detect_lines_ed if detector == 1 else LN.detect_lines
+    ep, ang, length, valid, _ = det(jnp.asarray(img), max_lines=64)
+    assert _recall(ep, valid, SEGS) == len(SEGS), \
+        f"detector={detector} missed segments"
+
+
+@pytest.mark.parametrize("detector", [0, 1])
+def test_degenerate_images(detector):
+    det = LN.detect_lines_ed if detector == 1 else LN.detect_lines
+    for img in (np.zeros((240, 320), np.float32),
+                np.full((240, 320), 255.0, np.float32)):
+        ep, ang, length, valid, _ = det(jnp.asarray(img), max_lines=64)
+        assert not np.asarray(valid).any()
+        assert np.isfinite(np.asarray(ep)).all()
+
+
+def test_ed_full_frontend(rng):
+    """extract_lines(detector=1) produces descriptors with the same
+    contract as the default path."""
+    img = _draw_segments(segs=SEGS)
+    img += rng.normal(0, 2.0, img.shape).astype(np.float32)
+    lf = LN.extract_lines(jnp.asarray(img), max_lines=64, detector=1)
+    v = np.asarray(lf.valid)
+    assert v.sum() >= 3
+    assert np.isfinite(np.asarray(lf.lineq)).all()
+    d = np.asarray(lf.desc, np.float32)
+    assert set(np.unique(d[v])) <= {-1.0, 1.0}

@@ -68,3 +68,54 @@ def test_rgbd_tracking(rng):
     gt = TIO.Trajectory(traj.timestamps, traj.p_wb, q)
     ate = TIO.ate_rmse(est, gt, with_scale=False)
     assert ate < 0.08, ate
+
+
+def test_match_stereo_lines_depth(rng):
+    """Rectified stereo line matching recovers endpoint depths
+    (reference Frame::ComputeStereoMatches_Lines src/Frame.cc:1408)."""
+    import jax.numpy as jnp
+    from plvio_tpu.ops import stereo as ST
+
+    fx, fy, cx, cy = 458.0, 457.0, 376.0, 240.0
+    b = 0.11
+    bf = b * fx
+    L = 32
+    n_real = 12
+    # random 3D segments, mostly vertical-ish so they are stereo-matchable
+    z0 = rng.uniform(2.0, 8.0, n_real)
+    z1 = z0 + rng.uniform(-0.3, 0.3, n_real)
+    x0 = rng.uniform(-1.5, 1.5, n_real)
+    y0 = rng.uniform(-1.0, 0.2, n_real)
+    x1 = x0 + rng.uniform(-0.3, 0.3, n_real)
+    y1 = y0 + rng.uniform(0.5, 1.2, n_real)   # guaranteed vertical extent
+
+    def proj(X, Y, Z, tx=0.0):
+        return np.stack([fx * (X - tx) / Z + cx, fy * Y / Z + cy], -1)
+
+    epL = np.zeros((L, 4), np.float32)
+    epR = np.zeros((L, 4), np.float32)
+    epL[:n_real, :2] = proj(x0, y0, z0)
+    epL[:n_real, 2:] = proj(x1, y1, z1)
+    epR[:n_real, :2] = proj(x0, y0, z0, tx=b)
+    epR[:n_real, 2:] = proj(x1, y1, z1, tx=b)
+    ang = np.zeros(L, np.float32)
+    for e, a in ((epL, ang), ):
+        d = e[:, 2:] - e[:, :2]
+        a[:] = np.arctan2(d[:, 1], d[:, 0]) % np.pi
+    angR = ang.copy()
+    valid = np.zeros(L, bool)
+    valid[:n_real] = True
+    # descriptors: identical for true pairs, random elsewhere
+    desc = rng.choice([-1.0, 1.0], size=(L, 256)).astype(np.float32)
+    descL = jnp.asarray(desc, jnp.bfloat16)
+    descR = jnp.asarray(desc, jnp.bfloat16)
+
+    ds, de, has = ST.match_stereo_lines(
+        jnp.asarray(epL), descL, jnp.asarray(ang), jnp.asarray(valid),
+        jnp.asarray(epR), descR, jnp.asarray(angR), jnp.asarray(valid), bf)
+    ds, de, has = np.asarray(ds), np.asarray(de), np.asarray(has)
+    assert has[:n_real].sum() >= n_real - 2, has[:n_real]
+    assert not has[n_real:].any()
+    got = has[:n_real]
+    np.testing.assert_allclose(ds[:n_real][got], z0[got], rtol=0.02)
+    np.testing.assert_allclose(de[:n_real][got], z1[got], rtol=0.02)
