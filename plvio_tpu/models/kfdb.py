@@ -128,6 +128,17 @@ class AtlasKeyFrameDatabase:
     def add_keyframe(self, kf, desc_packed, valid, map_id=None):
         return self.db(map_id).add_keyframe(kf, desc_packed, valid)
 
+    def rebuild(self):
+        """Recompute every map's BoW bank from the Atlas' stored KF
+        descriptors — used after System.load_atlas (the inverted file is
+        derived state and is not serialized)."""
+        self._dbs = {}
+        for m in self.atlas.maps:
+            db = self.db(m.map_id)
+            for kf in m.valid_kf_indices():
+                db.add_keyframe(int(kf), m.kf_feat_desc[kf],
+                                m.kf_feat_valid[kf])
+
     def remove_keyframe(self, kf, map_id=None):
         self.db(map_id).remove_keyframe(kf)
 

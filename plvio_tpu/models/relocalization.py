@@ -175,6 +175,14 @@ class PriorMapRelocalizer:
                                           jnp.asarray(vmask), sub)
             if int(n) < 12:
                 continue
+            # bearing-vector GN refine of the alignment pose (the
+            # reference scaffolds this as R_Optimizer::R_PoseOptimization,
+            # src/Relocalization/R_Optimizer.cpp:9-88, call commented at
+            # Relocalization.cpp:143 — enabled here)
+            R, t, inl, n = PNP.mlpnp_refine(self.K, jnp.asarray(uv_p),
+                                            jnp.asarray(X_p), inl, R, t)
+            if int(n) < 12:
+                continue
             # camera pose in prior world
             R_cw_p = np.asarray(R)
             t_cw_p = np.asarray(t)

@@ -254,6 +254,51 @@ class System:
         finally:
             self.tracker.only_tracking = was
 
+    def change_dataset(self) -> None:
+        """Multi-session boundary (reference System::ChangeDataset, used
+        by the multi-sequence example mains): keep the Atlas, drop the
+        motion model and IMU buffer, and start a fresh map for the next
+        sequence — loop closing later welds the sessions via map merge."""
+        t = self.tracker
+        m = t.map
+        if m.n_kf >= 2:       # explicit boundary: keep any real session
+            self.atlas.create_new_map(
+                max_kf=m.max_kf, max_pts=m.max_pts, max_lines=m.max_lines,
+                n_feat=self.n_feat)
+        from .tracking import TrackState
+        t.state = TrackState.NO_IMAGES_YET
+        t.init_feats = None
+        t.last_feat_pt = None
+        t.velocity = None
+        t.lost_count = 0
+        t.imu_since_kf = []
+
+    def save_atlas(self, directory: str) -> None:
+        """Persist every map in the Atlas (the reference scaffolds this
+        as boost-serialized SaveAtlas, commented out in
+        src/System.cc:115-179 — here it is live: one npz per map)."""
+        from . import serialization as SER
+        SER.save_atlas(self.atlas, directory)
+
+    def load_atlas(self, directory: str) -> None:
+        """Restore a saved Atlas and re-enter it via relocalization:
+        tracking starts LOST against the loaded map (reference LoadAtlas
+        scaffolding src/System.cc:185-191)."""
+        from . import serialization as SER
+        from .tracking import TrackState
+        atlas = SER.load_atlas(directory)
+        self.atlas.maps = atlas.maps
+        self.atlas.active = atlas.active
+        self.atlas.next_map_id = atlas.next_map_id
+        self.kfdb.rebuild()
+        t = self.tracker
+        t.state = TrackState.LOST
+        t.init_feats = None
+        t.last_feat_pt = None
+        t.velocity = None
+        t.lost_count = 0
+        t.imu_since_kf = []
+
     def shutdown(self):
         """reference System::Shutdown src/System.cc:660."""
         self._stop.set()

@@ -790,6 +790,12 @@ class Tracker:
                                           jnp.asarray(valid), sub)
             if int(n) < 10:
                 continue
+            # ML refinement on the inlier set (reference refines the
+            # MLPnP pose with PoseOptimization, src/Tracking.cc:5850)
+            R, t, inl, n = PNP.mlpnp_refine(self.K, jnp.asarray(uv_p),
+                                            jnp.asarray(X_p), inl, R, t)
+            if int(n) < 10:
+                continue
             pose = np.concatenate([np.asarray(R), np.asarray(t)[:, None]],
                                   1).astype(np.float32)
             # refine with the local map around the candidate

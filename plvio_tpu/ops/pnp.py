@@ -189,3 +189,68 @@ def sim3_ransac(X1: jnp.ndarray, X2: jnp.ndarray, valid: jnp.ndarray,
         s = jnp.trace(jnp.diag(D) @ S) / jnp.maximum(var1, 1e-12)
     t = mu2 - s * R @ mu1
     return s, R, t, inl, counts[best]
+
+
+@jax.jit
+def mlpnp_refine(K: PinholeK, uv: jnp.ndarray, X: jnp.ndarray,
+                 inliers: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
+                 iters: int = 8, chi2_th: float = 5.991):
+    """Maximum-likelihood PnP refinement on bearing vectors.
+
+    The reference relocalizes with MLPnPsolver (src/MLPnPsolver.cpp, used
+    by Tracking::Relocalization src/Tracking.cc:5744): residuals live in
+    the 2D null space of each observed bearing vector, which is the ML
+    formulation for central cameras.  Here that refinement is a fixed
+    -iteration Gauss-Newton over se(3), run after `pnp_ransac` on its
+    inlier set — batched, jittable, no data-dependent trip counts.
+
+    uv [N,2] pixels, X [N,3] world, inliers [N] bool, (R0,t0) initial
+    T_cw.  Returns (R, t, inl, n_inl) with a strict-chi2 re-score.
+    """
+    # observed bearings and their tangent-plane (null space) bases
+    xn = jnp.stack([(uv[:, 0] - K.cx) / K.fx,
+                    (uv[:, 1] - K.cy) / K.fy,
+                    jnp.ones_like(uv[:, 0])], -1)
+    v = xn / jnp.linalg.norm(xn, axis=-1, keepdims=True)       # [N,3]
+    # r = normalize(v x e), s = v x r  with e chosen away from v
+    e = jnp.where(jnp.abs(v[:, 2:3]) < 0.9,
+                  jnp.tile(jnp.array([0.0, 0.0, 1.0]), (v.shape[0], 1)),
+                  jnp.tile(jnp.array([1.0, 0.0, 0.0]), (v.shape[0], 1)))
+    r = jnp.cross(v, e)
+    r = r / jnp.maximum(jnp.linalg.norm(r, axis=-1, keepdims=True), 1e-9)
+    s = jnp.cross(v, r)                                         # [N,3]
+    w = inliers.astype(jnp.float32)
+
+    def residual(xi, R, t):
+        dR = lie.so3_exp(xi[:3])
+        pc = (X @ (dR @ R).T) + (t + xi[3:])
+        mu = pc / jnp.maximum(jnp.linalg.norm(pc, axis=-1, keepdims=True),
+                              1e-9)
+        return jnp.stack([jnp.sum(r * mu, -1), jnp.sum(s * mu, -1)], -1)
+
+    def step(carry, _):
+        R, t = carry
+        z = jnp.zeros(6)
+        res = residual(z, R, t)                                 # [N,2]
+        J = jax.jacfwd(residual)(z, R, t)                       # [N,2,6]
+        # Huber IRLS on the tangent residual (scaled to ~pixel units)
+        rn2 = jnp.sum(res ** 2, -1) * (K.fx * K.fx)
+        hub = jnp.where(rn2 > chi2_th,
+                        jnp.sqrt(chi2_th / jnp.maximum(rn2, 1e-12)), 1.0)
+        ww = (w * hub)[:, None]
+        Jf = (J * ww[..., None]).reshape(-1, 6)
+        rf = (res * ww).reshape(-1)
+        H = Jf.T @ Jf + 1e-8 * jnp.eye(6)
+        g = Jf.T @ rf
+        xi = -jnp.linalg.solve(H, g)
+        dR = lie.so3_exp(xi[:3])
+        return (dR @ R, t + xi[3:]), None
+
+    (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
+    pc = X @ R.T + t
+    z = jnp.maximum(pc[:, 2], 1e-6)
+    pred = jnp.stack([K.fx * pc[:, 0] / z + K.cx,
+                      K.fy * pc[:, 1] / z + K.cy], -1)
+    chi2 = jnp.sum((pred - uv) ** 2, -1)
+    inl = inliers & (chi2 < chi2_th) & (pc[:, 2] > 0.05)
+    return R, t, inl, jnp.sum(inl)

@@ -36,3 +36,7 @@ def cpu_devices():
     devs = jax.devices()
     assert len(devs) == 8, f"expected 8 virtual CPU devices, got {devs}"
     return devs
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running e2e test")

@@ -126,3 +126,36 @@ def test_vocabulary_training(rng):
         _, counts = np.unique(ws, return_counts=True)
         purity.append(counts.max() / 30)
     assert np.mean(purity) > 0.8, np.mean(purity)
+
+
+def test_mlpnp_refine(rng):
+    """ML bearing-vector refinement tightens a coarse RANSAC pose
+    (reference Tracking::Relocalization uses MLPnPsolver then pose
+    optimization, src/Tracking.cc:5744-5850)."""
+    n = 200
+    X = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    X[:, 2] += 6
+    w = rng.normal(0, 0.3, 3)
+    t = rng.normal(0, 0.5, 3)
+    R = np.asarray(lie.so3_exp(jnp.asarray(w, jnp.float32)))
+    pc = X @ R.T + t
+    uv = np.stack([K.fx * pc[:, 0] / pc[:, 2] + K.cx,
+                   K.fy * pc[:, 1] / pc[:, 2] + K.cy], -1)
+    uv += rng.normal(0, 0.5, uv.shape)
+    bad = rng.choice(n, n // 5, replace=False)
+    uv[bad] += rng.uniform(40, 150, (len(bad), 2))
+    inliers = np.ones(n, bool)
+    inliers[bad] = False
+    # perturbed start: ~3 deg, ~15 cm off
+    R0 = np.asarray(lie.so3_exp(jnp.asarray(w + [0.03, -0.03, 0.02],
+                                            jnp.float32)))
+    t0 = t + [0.1, -0.05, 0.1]
+    R_est, t_est, inl, n_inl = PNP.mlpnp_refine(
+        K, jnp.asarray(uv, jnp.float32), jnp.asarray(X),
+        jnp.asarray(inliers), jnp.asarray(R0, jnp.float32),
+        jnp.asarray(t0, jnp.float32))
+    ang = np.linalg.norm(np.asarray(lie.so3_log(
+        jnp.asarray(np.asarray(R_est).T @ R, jnp.float32))))
+    assert ang < 5e-3, ang
+    np.testing.assert_allclose(np.asarray(t_est), t, atol=0.02)
+    assert int(n_inl) > 0.9 * (n - len(bad))
