@@ -572,7 +572,7 @@ def make_projection_matcher(K: PinholeK, n_feat: int, cap_pts: int):
 
     @jax.jit
     def run(pose, pt_xyz, pt_desc, pt_valid, feat_uv, feat_desc,
-            feat_octave, feat_valid, radius):
+            feat_octave, feat_valid, radius, max_dist=80.0):
         R, t = pose[:, :3], pose[:, 3]
         pc = (R @ pt_xyz.T).T + t
         z = pc[:, 2]
@@ -591,7 +591,7 @@ def make_projection_matcher(K: PinholeK, n_feat: int, cap_pts: int):
         d2 = jnp.sum((uv_proj[:, None, :] - feat_uv[None, :, :]) ** 2, -1)
         gate = d2 <= (radius * scale[None, :]) ** 2
         idx, ok = M.match_nn_ratio(dist, proj_ok, feat_valid, gate,
-                                   max_dist=80.0, ratio=0.9, mutual=True)
+                                   max_dist=max_dist, ratio=0.9, mutual=True)
         uv_m = feat_uv[idx]
         # per-feature back map
         feat_pt = jnp.full((n_feat,), -1, jnp.int32)

@@ -45,6 +45,16 @@ class LocalMapper:
         self.local_ba_kernel = KN.make_local_ba(
             self.K, ba_kf_cap, ba_pt_cap, ba_obs_cap)
         self.recent_pts: List[np.ndarray] = []  # per-KF batches for culling
+        # duplicate-landmark fusion (reference ORBmatcher::Fuse,
+        # src/ORBmatcher.cc:823, driven by SearchInNeighbors)
+        self.fuse_cap = 2048
+        self.fuse_match = KN.make_projection_matcher(
+            self.K, n_feat, self.fuse_cap)
+        # KeyFrameDatabase hook (wired by System) so culled KFs leave the
+        # BoW bank too (the reference erases from mpKeyFrameDB on SetBadFlag)
+        self.kfdb = None
+        self.n_culled = 0
+        self.n_fused = 0
 
         # line machinery
         self.use_lines = cfg.use_lines
@@ -86,12 +96,20 @@ class LocalMapper:
         return self.atlas.current
 
     # ------------------------------------------------------------------
-    def process_keyframe(self, kf: int) -> None:
+    def process_keyframe(self, kf: int, protect=()) -> list:
+        """Full mapping step for one new keyframe (reference Run_Lines
+        body, src/LocalMapping.cc:286-454: process, cull landmarks,
+        triangulate, fuse neighbors, BA, cull keyframes).
+
+        `protect`: extra KF ids never culled (e.g. the tracker's ref KF).
+        Returns the list of (culled_kf, pose_cw, timestamp) so the caller
+        can re-anchor any state pointing at removed keyframes."""
         self.cull_points()
         self.create_new_points(kf)
         if self.use_lines:
             self.cull_lines()
             self.create_new_lines(kf)
+        self.search_in_neighbors(kf)
         if self.use_imu and not self.map.imu_initialized:
             self.maybe_initialize_imu()
         import os
@@ -106,7 +124,127 @@ class LocalMapper:
                 self.refine_scale()
         else:
             self.local_ba(kf)
+        culled = self.cull_keyframes(kf, protect=protect)
         self.map.change_index += 1
+        return culled
+
+    # ------------------------------------------------------------------
+    # Duplicate-landmark fusion (reference SearchInNeighbors,
+    # src/LocalMapping.cc:1325 + ORBmatcher::Fuse src/ORBmatcher.cc:823)
+    # ------------------------------------------------------------------
+    def _replace_point(self, drop: int, keep: int) -> None:
+        """MapPoint::Replace analog: rebind every observation of `drop`
+        to `keep` (skipping keyframes that already observe `keep`) and
+        absorb the found/visible statistics."""
+        m = self.map
+        rows, cols = np.nonzero(m.kf_match_pt == drop)
+        for r, c in zip(rows, cols):
+            if (m.kf_match_pt[r] == keep).any():
+                m.kf_match_pt[r, c] = INVALID
+            else:
+                m.kf_match_pt[r, c] = keep
+                m.pt_n_obs[keep] += 1
+        m.pt_found[keep] += m.pt_found[drop]
+        m.pt_visible[keep] += m.pt_visible[drop]
+        m.pt_valid[drop] = False
+        m.n_pt -= 1
+
+    def _fuse_into(self, target_kf: int, pt_ids: np.ndarray) -> int:
+        """Project candidate map points into `target_kf`; bind unbound
+        feature matches as new observations, and when a matched feature
+        is already bound to a DIFFERENT point, merge the two landmarks
+        (keep the better-observed one)."""
+        m = self.map
+        cap = self.fuse_cap
+        ids = pt_ids[:cap]
+        n = len(ids)
+        if n == 0:
+            return 0
+        xyz = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        live = np.zeros(cap, bool)
+        xyz[:n] = m.pt_xyz[ids]
+        desc[:n] = m.pt_desc[ids]
+        live[:n] = m.pt_valid[ids]
+        # strict gates for fusion (reference Fuse: TH_LOW=50 descriptor
+        # bound + chi2-5.99 reprojection check, src/ORBmatcher.cc:823 —
+        # looser tracking-style gates here corrupt geometry via aliased
+        # bindings, measured as a 6x ATE regression on the synthetic run)
+        _, pt_feat, matched, _ = self.fuse_match(
+            jnp.asarray(m.kf_pose_cw[target_kf]), jnp.asarray(xyz),
+            jnp.asarray(desc), jnp.asarray(live),
+            jnp.asarray(m.kf_feat_uv[target_kf]),
+            jnp.asarray(m.kf_feat_desc[target_kf]),
+            jnp.asarray(m.kf_feat_octave[target_kf]),
+            jnp.asarray(m.kf_feat_valid[target_kf]), jnp.float32(2.0),
+            jnp.float32(50.0))
+        matched = np.asarray(matched)
+        pt_feat = np.asarray(pt_feat)
+        row = m.kf_match_pt[target_kf]
+        bound = np.zeros(m.max_pts, bool)
+        bound[row[row >= 0]] = True
+        R_t = m.kf_pose_cw[target_kf, :, :3]
+        t_t = m.kf_pose_cw[target_kf, :, 3]
+        n_fused = 0
+        for slot in np.nonzero(matched[:n])[0]:
+            p = int(ids[slot])
+            f = int(pt_feat[slot])
+            if not m.pt_valid[p]:
+                continue            # merged away earlier in this loop
+            cur = int(m.kf_match_pt[target_kf, f])
+            if cur == p:
+                continue
+            if cur == INVALID:
+                if bound[p]:
+                    continue        # p already observed on another feature
+                m.kf_match_pt[target_kf, f] = p
+                m.pt_n_obs[p] += 1
+                bound[p] = True
+                n_fused += 1
+            elif m.pt_valid[cur]:
+                # merge only when the two landmarks coincide in 3D
+                # (relative to depth) — descriptor aliasing otherwise
+                # welds distinct points and BA drags both wrong
+                z = float(R_t[2] @ m.pt_xyz[p] + t_t[2])
+                if np.linalg.norm(m.pt_xyz[p] - m.pt_xyz[cur]) \
+                        > 0.02 * max(z, 0.5):
+                    continue
+                keep, drop = ((cur, p) if m.pt_n_obs[cur] >= m.pt_n_obs[p]
+                              else (p, cur))
+                self._replace_point(drop, keep)
+                n_fused += 1
+        return n_fused
+
+    def search_in_neighbors(self, kf: int) -> None:
+        """Two-hop duplicate fusion around the new keyframe (reference
+        SearchInNeighbors, src/LocalMapping.cc:1325: best covisible KFs +
+        their neighbors; Fuse target points into them and their points
+        into the target)."""
+        m = self.map
+        n1 = [int(x) for x in m.covisible_kfs(kf, n=10, min_weight=5)
+              if m.kf_valid[x]]
+        ext = list(n1)
+        for nb in n1:
+            for y in m.covisible_kfs(nb, n=5, min_weight=5):
+                y = int(y)
+                if y != kf and m.kf_valid[y] and y not in ext:
+                    ext.append(y)
+        if not ext:
+            return
+        # forward: neighborhood points into the new KF
+        cand = np.unique(m.kf_match_pt[ext])
+        cand = cand[cand >= 0]
+        cand = cand[m.pt_valid[cand]]
+        fused = self._fuse_into(kf, cand)
+        # backward: the new KF's points into each neighbor
+        own = m.kf_match_pt[kf]
+        own_ids = own[own >= 0]
+        own_ids = own_ids[m.pt_valid[own_ids]]
+        for nb in ext[:10]:
+            fused += self._fuse_into(nb, own_ids)
+        self.n_fused += fused
+        if fused:
+            m.update_covisibility(kf)
 
     # ------------------------------------------------------------------
     def cull_points(self) -> None:
@@ -753,17 +891,108 @@ class LocalMapper:
         m.pt_xyz[pt_ids] = np.asarray(pt_out)[:len(pt_ids)]
 
     # ------------------------------------------------------------------
-    def cull_keyframes(self, kf: int) -> None:
-        """Remove window KFs whose points are ≥90% seen by ≥3 other KFs
-        (reference KeyFrameCullingWithLines, src/LocalMapping.cc:1720)."""
+    def _merge_imu_into_next(self, cand: int, nxt: int) -> None:
+        """Keep the temporal IMU chain exact across a cull: concatenate
+        the culled KF's raw window into its successor's and reintegrate
+        at the successor's bias (reference Preintegrated::MergePrevious,
+        src/ImuTypes.cc:312, called from KeyFrameCulling)."""
         m = self.map
-        for cand in m.covisible_kfs(kf, n=10, min_weight=5):
-            if not m.kf_valid[cand] or cand == kf:
+        empty = (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32),
+                 np.zeros((0,), np.float32))
+        g1, a1, d1 = m.kf_imu_raw.get(cand, empty)
+        g2, a2, d2 = m.kf_imu_raw.get(nxt, empty)
+        g = np.concatenate([g1, g2])
+        a = np.concatenate([a1, a2])
+        d = np.concatenate([d1, d2])
+        if len(g):
+            m.kf_imu_raw[nxt] = (g, a, d)
+            m.kf_preint[nxt] = self._reintegrate(
+                g, a, d, m.kf_bias_g[nxt], m.kf_bias_a[nxt])
+        m.kf_imu_raw.pop(cand, None)
+        m.kf_preint.pop(cand, None)
+
+    def cull_keyframes(self, kf: int, protect=()) -> list:
+        """Remove covisible KFs ≥90% of whose bound points are observed
+        by ≥3 other KFs at the same or finer octave (reference
+        KeyFrameCullingWithLines, src/LocalMapping.cc:1720).  Inertial
+        mode additionally keeps the temporal chain intact: only culls
+        KFs with both neighbors within 3 s and merges their
+        preintegration windows (reference :1726 inertial branch).
+
+        Returns [(kf_id, pose_cw, timestamp), ...] of removed KFs."""
+        m = self.map
+        chain = m.kf_chain()
+        if len(chain) < 4:
+            return []
+        keep = set(int(x) for x in protect)
+        keep.add(int(chain[0]))          # the map origin anchors the gauge
+        keep.update(int(x) for x in chain[-2:])   # newest KFs still binding
+        keep.add(int(kf))
+        removed = []
+        for cand in m.covisible_kfs(kf, n=12, min_weight=5):
+            cand = int(cand)
+            if self._cullable(cand, keep) and self._redundancy(cand) > 0.9:
+                removed.append(self._do_cull(cand))
+        # capacity pressure: the fixed-shape store must NEVER overflow, so
+        # when the map nears capacity sweep the whole chain and cull the
+        # most redundant KFs down to a working level (elastic analog of
+        # the reference growing its std::set unboundedly)
+        if m.n_kf > 0.85 * m.max_kf:
+            target = int(0.75 * m.max_kf)
+            cands = [(self._redundancy(int(c)), int(c))
+                     for c in m.kf_chain()
+                     if self._cullable(int(c), keep, max_gap=10.0)]
+            cands.sort(reverse=True)
+            for red, cand in cands:
+                if m.n_kf <= target or red < 0.5:
+                    break
+                if m.kf_valid[cand]:
+                    removed.append(self._do_cull(cand))
+        return removed
+
+    def _cullable(self, cand: int, keep, max_gap: float = 3.0) -> bool:
+        m = self.map
+        if not m.kf_valid[cand] or cand in keep:
+            return False
+        if (m.kf_match_pt[cand] >= 0).sum() < 10:
+            return False
+        if self.use_imu:
+            prev, nxt = int(m.kf_prev[cand]), int(m.kf_next[cand])
+            if prev < 0 or nxt < 0 or not m.kf_valid[nxt]:
+                return False
+            if m.kf_timestamp[nxt] - m.kf_timestamp[prev] > max_gap:
+                return False             # reference keeps sparse chains
+        return True
+
+    def _redundancy(self, cand: int) -> float:
+        """Fraction of `cand`'s bound points observed by >=3 other KFs at
+        the same or finer octave (reference KeyFrameCullingWithLines
+        redundancy rule, src/LocalMapping.cc:1720)."""
+        m = self.map
+        feat = np.nonzero(m.kf_match_pt[cand] >= 0)[0]
+        if len(feat) == 0:
+            return 0.0
+        pid = m.kf_match_pt[cand, feat]
+        oct_c = m.kf_feat_octave[cand, feat]
+        n_good = np.zeros(len(pid), np.int32)
+        for o in np.nonzero((m.covis[cand] > 0) & m.kf_valid)[0]:
+            if o == cand:
                 continue
-            pts = m.kf_match_pt[cand]
-            pts = pts[pts >= 0]
-            if len(pts) < 10:
-                continue
-            redundant = (m.pt_n_obs[pts] >= 4).mean()
-            if redundant > 0.9:
-                m.remove_keyframe(cand)
+            fo = np.nonzero(m.kf_match_pt[o] >= 0)[0]
+            po = m.kf_match_pt[o, fo]
+            oct_map = np.full(m.max_pts, 127, np.int32)
+            oct_map[po] = m.kf_feat_octave[o, fo]
+            n_good += oct_map[pid] <= oct_c + 1
+        return float((n_good >= 3).mean())
+
+    def _do_cull(self, cand: int):
+        m = self.map
+        pose = m.kf_pose_cw[cand].copy()
+        ts = float(m.kf_timestamp[cand])
+        if self.use_imu:
+            self._merge_imu_into_next(cand, int(m.kf_next[cand]))
+        m.remove_keyframe(cand)
+        if self.kfdb is not None:
+            self.kfdb.remove_keyframe(cand)
+        self.n_culled += 1
+        return (cand, pose, ts)

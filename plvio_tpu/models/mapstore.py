@@ -221,6 +221,8 @@ class MapStore:
         pts = self.kf_match_pt[kf]
         good = pts >= 0
         self.pt_n_obs[pts[good]] -= 1
+        lns = self.kf_match_ln[kf]
+        self.ln_n_obs[lns[lns >= 0]] -= 1
         self.kf_match_pt[kf] = INVALID
         self.kf_match_ln[kf] = INVALID
         self.kf_valid[kf] = False

@@ -26,7 +26,7 @@ from ..ops import frontend as FE
 from ..ops import cameras as CAM
 from ..utils import lie
 from .local_mapping import LocalMapper
-from .mapstore import Atlas
+from .mapstore import Atlas, INVALID
 from .tracking import Tracker, TrackState
 
 
@@ -75,6 +75,7 @@ class System:
         self.tracker = Tracker(cfg, self.atlas, self.n_feat)
         self.tracker.kfdb = self.kfdb
         self.mapper = LocalMapper(cfg, self.atlas, self.n_feat)
+        self.mapper.kfdb = self.kfdb
 
         self.loop_closer = None
         if cfg.use_loop_closing:
@@ -214,7 +215,10 @@ class System:
     def _process_kf(self, kf: int):
         m = self.atlas.current
         self.kfdb.add_keyframe(kf, m.kf_feat_desc[kf], m.kf_feat_valid[kf])
-        self.mapper.process_keyframe(kf)
+        culled = self.mapper.process_keyframe(
+            kf, protect=(self.tracker.ref_kf,))
+        if culled:
+            self.tracker.reanchor_records(culled)
         if self.loop_closer is not None:
             self.loop_closer.process_keyframe(kf)
             merge = self.loop_closer.pending_merge
@@ -265,6 +269,14 @@ class System:
             self.atlas.create_new_map(
                 max_kf=m.max_kf, max_pts=m.max_pts, max_lines=m.max_lines,
                 n_feat=self.n_feat)
+        else:
+            # a partially-initialized young map is reset in place rather
+            # than carried into the next sequence (reference ChangeDataset
+            # resets an immature active map before the next sequence)
+            from .mapstore import MapStore
+            self.atlas.maps[self.atlas.active] = MapStore(
+                max_kf=m.max_kf, max_pts=m.max_pts, max_lines=m.max_lines,
+                n_feat=self.n_feat, map_id=m.map_id)
         from .tracking import TrackState
         t.state = TrackState.NO_IMAGES_YET
         t.init_feats = None
@@ -294,7 +306,11 @@ class System:
         t = self.tracker
         t.state = TrackState.LOST
         t.init_feats = None
+        t.last_feats = None
+        t.last_pose_cw = None      # forces re-entry via _relocalize
         t.last_feat_pt = None
+        t.last_feat_ln = None
+        t.ref_kf = INVALID
         t.velocity = None
         t.lost_count = 0
         t.imu_since_kf = []

@@ -195,8 +195,11 @@ class Tracker:
                 return self.last_pose_cw
             return None
 
-        if self.state == TrackState.LOST and self.only_tracking:
-            # pure localization re-entry: relocalize against the frozen map
+        if self.state == TrackState.LOST and (self.only_tracking
+                                              or self.last_pose_cw is None):
+            # pure localization re-entry, or re-entry into a loaded atlas
+            # with no prior pose (System.load_atlas): relocalize against
+            # the map — _track_frame needs last_pose_cw and must not run
             ok = self._relocalize(feats)
         else:
             ok = self._track_frame(feats, timestamp)
@@ -870,6 +873,34 @@ class Tracker:
         m.kf_vel[kf] = self.frame_vel
         m.kf_bias_g[kf] = self.frame_bg
         m.kf_bias_a[kf] = self.frame_ba
+
+    # ------------------------------------------------------------------
+    def reanchor_records(self, culled) -> None:
+        """Re-express frame records whose reference KF was culled
+        relative to a surviving keyframe, using the culled KF's last
+        pose (the reference walks mlpReferences up the spanning tree in
+        SaveTrajectoryEuRoC when a ref KF is bad, src/System.cc:785)."""
+        m = self.map
+        chain = m.kf_chain()
+        if len(chain) == 0:
+            return
+        for ckf, pose_cw, ts in culled:
+            # nearest surviving chain KF in time
+            new_ref = int(chain[np.argmin(np.abs(m.kf_timestamp[chain] - ts))])
+            T_nw = m.kf_pose_cw[new_ref]
+            # T_r_new = T_rw_old o T_wn = pose_cw o inv(T_nw)
+            R_rn = pose_cw[:, :3] @ T_nw[:, :3].T
+            t_rn = pose_cw[:, 3] - R_rn @ T_nw[:, 3]
+            for rec in self.frames:
+                if rec.ref_kf != ckf or rec.map_id != self.atlas.active:
+                    continue
+                R_cr, t_cr = rec.T_cr[:, :3], rec.T_cr[:, 3]
+                R_cn = R_cr @ R_rn
+                t_cn = R_cr @ t_rn + t_cr
+                rec.T_cr = np.concatenate([R_cn, t_cn[:, None]], 1)
+                rec.ref_kf = new_ref
+            if self.ref_kf == ckf:
+                self.ref_kf = new_ref
 
     # ------------------------------------------------------------------
     def full_trajectory(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -8,6 +8,7 @@ SVD and scored against all correspondences as one dense residual matrix.
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import numpy as np
@@ -191,7 +192,7 @@ def sim3_ransac(X1: jnp.ndarray, X2: jnp.ndarray, valid: jnp.ndarray,
     return s, R, t, inl, counts[best]
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("iters", "chi2_th"))
 def mlpnp_refine(K: PinholeK, uv: jnp.ndarray, X: jnp.ndarray,
                  inliers: jnp.ndarray, R0: jnp.ndarray, t0: jnp.ndarray,
                  iters: int = 8, chi2_th: float = 5.991):

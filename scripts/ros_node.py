@@ -63,18 +63,51 @@ def main():
         return a.astype(np.float32)
 
     rospy.init_node("plvio_tpu", anonymous=True)
-    rospy.Subscriber(
-        args.image_topic, Image,
-        lambda m: feeder.push_image(img_to_np(m), m.header.stamp.to_sec()),
-        queue_size=16)
-    if args.mode.startswith("stereo") or args.mode == "rgbd":
+    two_stream = args.mode.startswith("stereo") or args.mode == "rgbd"
+    if not two_stream:
+        rospy.Subscriber(
+            args.image_topic, Image,
+            lambda m: feeder.push_image(img_to_np(m),
+                                        m.header.stamp.to_sec()),
+            queue_size=16)
+    else:
+        # nearest-stamp pairing of the two streams: primary frames wait
+        # in `primary` until a partner within `slop` arrives (and vice
+        # versa through `pending`); stale entries are evicted
         topic2 = (args.depth_topic if args.mode == "rgbd"
                   else args.image_topic_right)
-        # naive nearest-stamp pairing for the second stream
-        pending = {}
+        pending = {}    # stamp -> second-stream image
+        primary = {}    # stamp -> primary image
+        slop = 0.01
+        push_pair = (feeder.push_rgbd if args.mode == "rgbd"
+                     else feeder.push_stereo)
+
+        def evict(d, now):
+            for k in [k for k in d if now - k > 1.0]:
+                del d[k]
+
+        def try_pair(t1):
+            if t1 not in primary:
+                return
+            near = [t2 for t2 in pending if abs(t2 - t1) <= slop]
+            if near:
+                t2 = min(near, key=lambda x: abs(x - t1))
+                push_pair(primary.pop(t1), pending.pop(t2), t1)
+
+        def on_primary(m):
+            t = m.header.stamp.to_sec()
+            primary[t] = img_to_np(m)
+            try_pair(t)
+            evict(primary, t)
+            evict(pending, t)
 
         def on_second(m):
-            pending[round(m.header.stamp.to_sec(), 4)] = img_to_np(m)
+            t2 = m.header.stamp.to_sec()
+            pending[t2] = img_to_np(m)
+            for t1 in sorted(primary, key=lambda x: abs(x - t2)):
+                try_pair(t1)
+
+        rospy.Subscriber(args.image_topic, Image, on_primary, queue_size=16)
         rospy.Subscriber(topic2, Image, on_second, queue_size=16)
     if args.mode.endswith("_vi"):
         rospy.Subscriber(
