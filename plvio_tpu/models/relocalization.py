@@ -59,6 +59,9 @@ class PriorMapRelocalizer:
         self.n_feat = n_feat
         cam = cfg.camera
         self.K = PinholeK(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+        # the prior set was captured by its own camera; the reference
+        # hardcodes it (Relocalization.cpp:8: 518, 519, 325.5, 253.5)
+        self.prior_K = PinholeK(fx=518.0, fy=519.0, cx=325.5, cy=253.5)
         self.prior_frames: List[PriorFrame] = []
         self._bow_pipeline = V.make_bow_pipeline(voc, n_feat)
         self._extract = None
@@ -87,8 +90,8 @@ class PriorMapRelocalizer:
         vi = np.clip(uv[:, 1].astype(int), 0, depth.shape[0] - 1)
         z = depth[vi, ui]
         has_depth = valid & (z > 0.05) & np.isfinite(z)
-        xn = (uv[:, 0] - self.K.cx) / self.K.fx
-        yn = (uv[:, 1] - self.K.cy) / self.K.fy
+        xn = (uv[:, 0] - self.prior_K.cx) / self.prior_K.fx
+        yn = (uv[:, 1] - self.prior_K.cy) / self.prior_K.fy
         pc = np.stack([xn * z, yn * z, z], -1)
         xyz_w = pc @ T_wc[:, :3].T + T_wc[:, 3]
         self.prior_frames.append(PriorFrame(
@@ -97,24 +100,28 @@ class PriorMapRelocalizer:
             has_depth=has_depth, bow=np.asarray(bow)))
 
     def load_prior_dir(self, data_dir: str) -> int:
-        """Load the reference's on-disk prior format: color/<i>.png,
-        depth/<i>.pgm, pose.txt (TUM rows: t x y z qx qy qz qw)
-        (reference LoadImages, Relocalization.cpp:16-62)."""
+        """Load the reference's on-disk prior format: color/<i+1>.png,
+        depth/<i+1>.pgm paired with row i of pose.txt — rows are either
+        `x y z qx qy qz qw` (the shipped data/, data2/ sets) or TUM
+        `t x y z qx qy qz qw` (reference LoadImages,
+        Relocalization.cpp:16-62 pairs image i+1 with pose row i)."""
         from ..io.euroc import load_image_gray
         pose_path = os.path.join(data_dir, "pose.txt")
         rows = np.loadtxt(pose_path, ndmin=2)
+        off = 1 if rows.shape[1] >= 8 else 0   # skip timestamp column
         n = 0
         for i, row in enumerate(rows):
-            cpath = os.path.join(data_dir, "color", f"{i}.png")
-            dpath = os.path.join(data_dir, "depth", f"{i}.pgm")
+            cpath = os.path.join(data_dir, "color", f"{i + 1}.png")
+            dpath = os.path.join(data_dir, "depth", f"{i + 1}.pgm")
             if not (os.path.exists(cpath) and os.path.exists(dpath)):
                 continue
             img = load_image_gray(cpath)
             from PIL import Image
             depth = np.asarray(Image.open(dpath), np.float32) / 5000.0
-            q = row[4:8]
+            q = row[off + 3:off + 7]
             R = np.asarray(lie.quat_to_rot(jnp.asarray(q, jnp.float32)))
-            T_wc = np.concatenate([R, row[1:4][:, None]], 1)
+            t = row[off:off + 3]
+            T_wc = np.concatenate([R, t[:, None]], 1)
             self.add_prior_frame(img, depth, T_wc)
             n += 1
         return n
