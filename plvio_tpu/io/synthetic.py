@@ -204,6 +204,19 @@ def project_scene(scene: Scene, R_wc: np.ndarray, p_wc: np.ndarray,
         & (uv[:, 1] >= margin) & (uv[:, 1] < height - margin)
 
     lc = np.einsum("ij,lkj->lki", R_cw, scene.lines - p_wc)
+    # near-plane clip in 3D first: a segment with ONE endpoint behind the
+    # camera is still partially visible (real detectors see it), so move
+    # that endpoint to the z=0.25 plane instead of culling the line
+    znear = 0.25
+    for i in range(len(lc)):
+        z0, z1 = lc[i, 0, 2], lc[i, 1, 2]
+        if (z0 > znear) != (z1 > znear):
+            t = (znear - z0) / (z1 - z0)
+            pcut = lc[i, 0] + t * (lc[i, 1] - lc[i, 0])
+            if z0 <= znear:
+                lc[i, 0] = pcut
+            else:
+                lc[i, 1] = pcut
     zl = lc[..., 2]
     uv_l = np.stack([fx * lc[..., 0] / np.maximum(zl, 1e-6) + cx,
                      fy * lc[..., 1] / np.maximum(zl, 1e-6) + cy], axis=-1)
@@ -257,9 +270,12 @@ def render_frame(scene: Scene, R_wc: np.ndarray, p_wc: np.ndarray,
 
     for i in np.nonzero(vis_l)[0]:
         col = 128.0 + 90.0 * scene.line_polarity[i]
-        p0 = tuple(np.round(uv_l[i, 0]).astype(int))
-        p1 = tuple(np.round(uv_l[i, 1]).astype(int))
-        cv2.line(img, p0, p1, float(col), 2, cv2.LINE_AA)
+        # sub-pixel endpoints (shift=4 -> 1/16 px): integer rounding
+        # would tilt the drawn line by up to ~0.4 deg, which dominates
+        # the direction error budget of line triangulation
+        p0 = tuple(np.round(uv_l[i, 0] * 16).astype(int))
+        p1 = tuple(np.round(uv_l[i, 1] * 16).astype(int))
+        cv2.line(img, p0, p1, float(col), 2, cv2.LINE_AA, shift=4)
 
     # texture dots first (underneath the main blobs)
     if len(scene.texture_dots):

@@ -311,35 +311,45 @@ def make_line_projection_matcher(K: PinholeK, n_line_feat: int, cap_ln: int):
     @jax.jit
     def run(pose, ln_ep, ln_desc, ln_valid, obs_ep, obs_desc, obs_angle,
             obs_valid, obs_lineq, radius=40.0, angle_tol=0.25):
-        R, t = pose[:, :3], pose[:, 3]
-        Xs = ln_ep[:, :3]
-        Xe = ln_ep[:, 3:]
-        pcs = Xs @ R.T + t
-        pce = Xe @ R.T + t
-        zok = (pcs[:, 2] > 0.05) & (pce[:, 2] > 0.05)
-
-        def proj(pc):
-            z = jnp.maximum(pc[:, 2], 1e-4)
-            return jnp.stack([K.fx * pc[:, 0] / z + K.cx,
-                              K.fy * pc[:, 1] / z + K.cy], -1)
-
-        us = proj(pcs)
-        ue = proj(pce)
-        mid_pred = (us + ue) / 2
-        ang_pred = jnp.arctan2(ue[:, 1] - us[:, 1], ue[:, 0] - us[:, 0]) % jnp.pi
-        mid_obs = (obs_ep[:, :2] + obs_ep[:, 2:]) / 2
-        d2 = jnp.sum((mid_pred[:, None] - mid_obs[None, :]) ** 2, -1)
-        dang = jnp.abs(ang_pred[:, None] - obs_angle[None, :]) % jnp.pi
-        dang = jnp.minimum(dang, jnp.pi - dang)
-        gate = (d2 < radius ** 2) & (dang < angle_tol)
-        dist = M.hamming_matrix(M.unpack_u32_to_pm1(ln_desc),
-                                M.unpack_u32_to_pm1(obs_desc))
-        idx, ok = M.match_nn_ratio(dist, ln_valid & zok, obs_valid, gate,
-                                   max_dist=110.0, ratio=0.95, mutual=True)
-        l_eq = obs_lineq[idx]
-        return idx.astype(jnp.int32), ok, l_eq
+        return line_proj_match_core(K, pose, ln_ep, ln_desc, ln_valid,
+                                    obs_ep, obs_desc, obs_angle,
+                                    obs_valid, obs_lineq, radius, angle_tol)
 
     return run
+
+
+def line_proj_match_core(K: PinholeK, pose, ln_ep, ln_desc, ln_valid,
+                         obs_ep, obs_desc, obs_angle, obs_valid,
+                         obs_lineq, radius=40.0, angle_tol=0.25):
+    """Traceable body of the line projection matcher (shared by the
+    jitted factory and fused pipelines like the bench step)."""
+    R, t = pose[:, :3], pose[:, 3]
+    Xs = ln_ep[:, :3]
+    Xe = ln_ep[:, 3:]
+    pcs = Xs @ R.T + t
+    pce = Xe @ R.T + t
+    zok = (pcs[:, 2] > 0.05) & (pce[:, 2] > 0.05)
+
+    def proj(pc):
+        z = jnp.maximum(pc[:, 2], 1e-4)
+        return jnp.stack([K.fx * pc[:, 0] / z + K.cx,
+                          K.fy * pc[:, 1] / z + K.cy], -1)
+
+    us = proj(pcs)
+    ue = proj(pce)
+    mid_pred = (us + ue) / 2
+    ang_pred = jnp.arctan2(ue[:, 1] - us[:, 1], ue[:, 0] - us[:, 0]) % jnp.pi
+    mid_obs = (obs_ep[:, :2] + obs_ep[:, 2:]) / 2
+    d2 = jnp.sum((mid_pred[:, None] - mid_obs[None, :]) ** 2, -1)
+    dang = jnp.abs(ang_pred[:, None] - obs_angle[None, :]) % jnp.pi
+    dang = jnp.minimum(dang, jnp.pi - dang)
+    gate = (d2 < radius ** 2) & (dang < angle_tol)
+    dist = M.hamming_matrix(M.unpack_u32_to_pm1(ln_desc),
+                            M.unpack_u32_to_pm1(obs_desc))
+    idx, ok = M.match_nn_ratio(dist, ln_valid & zok, obs_valid, gate,
+                               max_dist=110.0, ratio=0.95, mutual=True)
+    l_eq = obs_lineq[idx]
+    return idx.astype(jnp.int32), ok, l_eq
 
 
 def make_line_triangulator(K: PinholeK, cap: int):
@@ -360,53 +370,83 @@ def make_line_triangulator(K: PinholeK, cap: int):
         C1 = -R1.T @ t1
         C2 = -R2.T @ t2
 
-        def ray_w(Rc, uv):
+        def rays_w(Rc, uv):
             xn = jnp.stack([(uv[:, 0] - K.cx) / K.fx,
                             (uv[:, 1] - K.cy) / K.fy,
                             jnp.ones(uv.shape[0])], -1)
-            d = xn @ Rc  # R^T @ xn per row
-            return d
+            return xn @ Rc  # R^T @ xn per row
 
-        # plane of segment 2 (through C2): normal = R2^T (r_s x r_e)
-        rs2 = jnp.stack([(ep2[:, 0] - K.cx) / K.fx,
-                         (ep2[:, 1] - K.cy) / K.fy,
-                         jnp.ones(cap)], -1)
-        re2 = jnp.stack([(ep2[:, 2] - K.cx) / K.fx,
-                         (ep2[:, 3] - K.cy) / K.fy,
-                         jnp.ones(cap)], -1)
-        n_c2 = jnp.cross(rs2, re2)
-        n_w = n_c2 @ R2  # R2^T n per row
+        def plane_n(Rc, ep):
+            rs = jnp.stack([(ep[:, 0] - K.cx) / K.fx,
+                            (ep[:, 1] - K.cy) / K.fy,
+                            jnp.ones(cap)], -1)
+            re = jnp.stack([(ep[:, 2] - K.cx) / K.fx,
+                            (ep[:, 3] - K.cy) / K.fy,
+                            jnp.ones(cap)], -1)
+            return jnp.cross(rs, re) @ Rc  # world normal, plane through C
 
-        def intersect(uv):
-            d = ray_w(R1, uv)
+        def intersect(C_from, d, n_w, C_on):
             denom = jnp.sum(n_w * d, -1)
-            tt = jnp.sum(n_w * (C2 - C1), -1) / \
+            tt = jnp.sum(n_w * (C_on - C_from), -1) / \
                 jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
-            Xw = C1 + tt[:, None] * d
-            return Xw, tt
+            return C_from + tt[:, None] * d
 
-        Xs_w, ts = intersect(ep1[:, :2])
-        Xe_w, te = intersect(ep1[:, 2:])
+        # direction A: endpoint rays of view 1 hit the plane of segment 2
+        n2_w = plane_n(R2, ep2)
+        XsA = intersect(C1, rays_w(R1, ep1[:, :2]), n2_w, C2)
+        XeA = intersect(C1, rays_w(R1, ep1[:, 2:]), n2_w, C2)
+        # direction B: endpoint rays of view 2 hit the plane of segment 1
+        n1_w = plane_n(R1, ep1)
+        XsB = intersect(C2, rays_w(R2, ep2[:, :2]), n1_w, C1)
+        XeB = intersect(C2, rays_w(R2, ep2[:, 2:]), n1_w, C1)
 
         def depth_in(Rc, tc, Xw):
             return (Xw @ Rc.T + tc)[:, 2]
 
-        z1s = depth_in(R1, t1, Xs_w)
-        z1e = depth_in(R1, t1, Xe_w)
-        z2s = depth_in(R2, t2, Xs_w)
-        z2e = depth_in(R2, t2, Xe_w)
-        good = valid & (z1s > 0.05) & (z1e > 0.05) & (z2s > 0.05) \
-            & (z2e > 0.05) & (z1s < max_depth) & (z1e < max_depth) \
-            & jnp.all(jnp.isfinite(Xs_w), -1) & jnp.all(jnp.isfinite(Xe_w), -1)
-        # degenerate when the two interpretation planes are near-parallel
-        d1 = ray_w(R1, (ep1[:, :2] + ep1[:, 2:]) / 2)
-        denom = jnp.abs(jnp.sum(n_w / jnp.maximum(
-            jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-9) * d1, -1))
-        good = good & (denom > 0.05)
-        # minimum 3D length sanity
-        seg_len = jnp.linalg.norm(Xe_w - Xs_w, axis=-1)
+        def z_ok(Xw):
+            za = depth_in(R1, t1, Xw)
+            zb = depth_in(R2, t2, Xw)
+            return (za > 0.05) & (zb > 0.05) & (za < max_depth) \
+                & (zb < max_depth)
+
+        good = valid & z_ok(XsA) & z_ok(XeA) & z_ok(XsB) & z_ok(XeB)
+        for Xw in (XsA, XeA, XsB, XeB):
+            good = good & jnp.all(jnp.isfinite(Xw), -1)
+
+        # conditioning: the two interpretation planes must not be
+        # near-parallel — their intersection (the 3D line) is unstable
+        # below ~1 deg (the line analog of the point parallax gate,
+        # reference CreateNewMapPoints cosParallaxRays check)
+        n1_hat = n1_w / jnp.maximum(
+            jnp.linalg.norm(n1_w, axis=-1, keepdims=True), 1e-9)
+        n2_hat = n2_w / jnp.maximum(
+            jnp.linalg.norm(n2_w, axis=-1, keepdims=True), 1e-9)
+        cos_planes = jnp.abs(jnp.sum(n1_hat * n2_hat, -1))
+        good = good & (cos_planes < 0.9992)    # > ~2.3 deg apart
+
+        # the two independent reconstructions must agree on the same 3D
+        # infinite line (replaces a raw plane/ray-angle degeneracy gate,
+        # which scales with baseline/depth and rejects valid small-
+        # baseline pairs; ill-conditioned or mismatched pairs disagree)
+        uA = XeA - XsA
+        uA = uA / jnp.maximum(jnp.linalg.norm(uA, axis=-1, keepdims=True), 1e-9)
+        uB = XeB - XsB
+        uB = uB / jnp.maximum(jnp.linalg.norm(uB, axis=-1, keepdims=True), 1e-9)
+        good = good & (jnp.abs(jnp.sum(uA * uB, -1)) > 0.996)   # < ~5 deg
+
+        def perp_to_A(X):
+            v = X - XsA
+            along = jnp.sum(v * uA, -1, keepdims=True) * uA
+            return jnp.linalg.norm(v - along, axis=-1)
+
+        depth_scale = jnp.maximum(depth_in(R1, t1, (XsA + XeA) / 2), 0.1)
+        tol = 0.02 * depth_scale
+        good = good & (perp_to_A(XsB) < tol) & (perp_to_A(XeB) < tol)
+
+        # 3D length sanity
+        seg_len = jnp.linalg.norm(XeA - XsA, axis=-1)
         good = good & (seg_len > 0.05) & (seg_len < 20.0)
-        return Xs_w, Xe_w, good
+        return XsA, XeA, good
 
     return run
 
@@ -465,12 +505,15 @@ def make_line_pair_matcher(n_line_feat: int):
         d2m = jnp.sum((mid1[:, None] - mid2[None, :]) ** 2, -1)
         dang = jnp.abs(ang1[:, None] - ang2[None, :]) % jnp.pi
         dang = jnp.minimum(dang, jnp.pi - dang)
-        # length ratio gate
+        # length gates: ratio consistency, and an absolute minimum —
+        # a short fragment's 2-point direction is too noisy to define a
+        # usable interpretation plane (sub-0.3 deg needs ~40+ px span)
         len1 = jnp.linalg.norm(ep1[:, 2:] - ep1[:, :2], axis=-1)
         len2 = jnp.linalg.norm(ep2[:, 2:] - ep2[:, :2], axis=-1)
         lr = len1[:, None] / jnp.maximum(len2[None, :], 1e-6)
         gate = (d2m < radius ** 2) & (dang < angle_tol) \
-            & (lr > 0.5) & (lr < 2.0)
+            & (lr > 0.5) & (lr < 2.0) \
+            & (len1[:, None] > 40.0) & (len2[None, :] > 40.0)
         dist = M.hamming_matrix(M.unpack_u32_to_pm1(d1),
                                 M.unpack_u32_to_pm1(d2))
         idx, ok = M.match_nn_ratio(dist, ok1, ok2, gate, max_dist=110.0,
@@ -607,14 +650,19 @@ def make_epipolar_matcher(K: PinholeK, n_feat: int):
     """Match unmatched features between two KFs gated by the epipolar
     constraint from their relative pose.
 
-    (pose1, pose2, uv1 [F,2], d1 [F,8], ok1, uv2 [F,2], d2 [F,8], ok2)
+    (pose1, pose2, uv1 [F,2], d1 [F,8], ok1, uv2 [F,2], d2 [F,8], ok2
+     [, ang1 [F], ang2 [F]])
     -> (idx2 [F], ok [F])  matches feature i in KF1 -> idx2[i] in KF2.
+    With angles given, matches outside the 3 dominant orientation-
+    difference bins are dropped (reference SearchForTriangulation
+    rotation histogram, src/ORBmatcher.cc:1399 + :1365-1397).
     """
     Km = jnp.array([[K.fx, 0, K.cx], [0, K.fy, K.cy], [0, 0, 1.0]], jnp.float32)
     Kinv = jnp.linalg.inv(Km)
 
     @jax.jit
-    def run(pose1, pose2, uv1, d1, ok1, uv2, d2, ok2, th_epi=2.0):
+    def run(pose1, pose2, uv1, d1, ok1, uv2, d2, ok2,
+            ang1=None, ang2=None, th_epi=2.0):
         R1, t1 = pose1[:, :3], pose1[:, 3]
         R2, t2 = pose2[:, :3], pose2[:, 3]
         # relative: T_21 = T2 * T1^{-1}
@@ -632,6 +680,8 @@ def make_epipolar_matcher(K: PinholeK, n_feat: int):
         dist = M.hamming_matrix(M.unpack_u32_to_pm1(d1), M.unpack_u32_to_pm1(d2))
         idx, ok = M.match_nn_ratio(dist, ok1, ok2, gate, max_dist=60.0,
                                    ratio=0.8, mutual=True)
+        if ang1 is not None and ang2 is not None:
+            ok = M.rotation_histogram_filter(ang1, ang2, idx, ok)
         return idx.astype(jnp.int32), ok
 
     return run
@@ -840,30 +890,44 @@ def make_inertial_init(gravity: float, n_kf: int, iters: int = 20):
 
 def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                            Rcb, tcb, gravity: float,
-                           rounds: int = 2, iters: int = 8):
+                           rounds: int = 2, iters: int = 8,
+                           n_ln: int = 0, n_lobs: int = 0):
     """Sliding-window visual-inertial BA (reference LocalInertialBA,
     src/Optimizer.cc:9185): per-KF 15-DoF states (pose_wb, vel, bg, ba),
     inertial + bias-RW edges along the temporal chain, visual edges to
-    Schur-eliminated points, fixed anchor.
+    Schur-eliminated points, fixed anchor.  With n_ln/n_lobs > 0 a
+    Schur-eliminated line-endpoint family joins the problem (reference
+    FullInertialBAwithLine, src/Optimizer.cc:1374).
 
     run(kf_pose_wb [W,3,4], kf_vel, kf_bg, kf_ba, kf_free [W],
         pt_xyz [P,3], pt_free, obs_kf [O], obs_pt [O], obs_uv [O,2],
         obs_valid, obs_is2, pre_const (stacked [W-1]), imu_info [W-1,9,9],
-        edge_valid [W-1], rw_info_g [W-1], rw_info_a [W-1])
-    -> (pose_wb, vel, bg, ba, pt_xyz, obs_inlier)
+        edge_valid [W-1], rw_info_g [W-1], rw_info_a [W-1]
+        [, ln_ep [Ln,6], ln_free, lobs_kf [Lo], lobs_ln, lobs_eq [Lo,3],
+           lobs_valid])
+    -> (pose_wb, vel, bg, ba, pt_xyz, obs_inlier[, ln_ep])
     """
     Rcb = jnp.asarray(Rcb, jnp.float32)
     tcb = jnp.asarray(tcb, jnp.float32)
     reproj_fn = RES.make_point_reproj_body_ba(K, Rcb, tcb)
+    line_fn = RES.make_line_reproj_body_ba(K, Rcb, tcb)
     inertial_fn = RES.make_inertial(gravity)
+    with_lines = n_ln > 0 and n_lobs > 0
 
     @jax.jit
     def run(kf_pose_wb, kf_vel, kf_bg, kf_ba, kf_free, pt_xyz, pt_free,
             obs_kf, obs_pt, obs_uv, obs_valid, obs_is2,
-            pre_const, imu_info, edge_valid, rw_info_g, rw_info_a):
+            pre_const, imu_info, edge_valid, rw_info_g, rw_info_a,
+            ln_ep=None, ln_free=None, lobs_kf=None, lobs_ln=None,
+            lobs_eq=None, lobs_valid=None):
         mask = obs_valid
         states = {"pose": kf_pose_wb, "vel": kf_vel,
                   "bg": kf_bg, "ba": kf_ba, "pt": pt_xyz}
+        lm_free = {"pt": pt_free}
+        mask_l = lobs_valid
+        if with_lines:
+            states["ln"] = ln_ep
+            lm_free["ln"] = ln_free
         free = {"pose": kf_free, "vel": kf_free, "bg": kf_free,
                 "ba": kf_free}
         idx1 = jnp.arange(n_kf - 1, dtype=jnp.int32)
@@ -880,6 +944,14 @@ def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                 dense_refs=[("pose", obs_kf)], lm_ref=("pt", obs_pt),
                 const={"uv": obs_uv}, mask=mask, info=obs_is2,
                 robust_delta=float(np.sqrt(CHI2_MONO))))
+            if with_lines:
+                prob.add_landmarks("ln", n_ln, 6, RES.retract_additive)
+                prob.add_term(E.Term(
+                    name="line", res_fn=line_fn, rdim=2,
+                    dense_refs=[("pose", lobs_kf)], lm_ref=("ln", lobs_ln),
+                    const={"l": lobs_eq}, mask=mask_l,
+                    info=jnp.ones(n_lobs, jnp.float32),
+                    robust_delta=float(np.sqrt(CHI2_MONO))))
             prob.add_term(E.Term(
                 name="inertial", res_fn=inertial_fn, rdim=9,
                 dense_refs=[("pose", idx1), ("vel", idx1), ("bg", idx1),
@@ -895,10 +967,15 @@ def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                 const=None, mask=edge_valid, info=rw_info_a))
             states, _, chi2s = E.optimize(
                 prob, states, iters=iters, dense_free_mask=free,
-                lm_free_mask={"pt": pt_free})
+                lm_free_mask=lm_free)
             mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)
-        return (states["pose"], states["vel"], states["bg"], states["ba"],
-                states["pt"], mask)
+            if with_lines:
+                mask_l = lobs_valid & (chi2s["line"] < CHI2_MONO)
+        out = (states["pose"], states["vel"], states["bg"], states["ba"],
+               states["pt"], mask)
+        if with_lines:
+            out = out + (states["ln"],)
+        return out
 
     return run
 
@@ -935,5 +1012,104 @@ def make_local_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                 lm_free_mask={"pt": pt_free})
             mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)
         return states["pose"], states["pt"], mask
+
+    return run
+
+
+def make_pose_opt_line_only(K: PinholeK, cap_ln: int, mode: int,
+                            rounds: int = 3, iters: int = 6):
+    """Line-only pose optimization for `SLAM` modes 1-3 (reference
+    PoseOptimizationOnlyLine / OnlyLineAngles / OnlyLineWithAngles,
+    src/Optimizer.cc:3406,3546,3688): mode 1 = two endpoint-to-line
+    residuals per line (EdgeLineSE3ProjectXYZOnlyPose), mode 2 =
+    direction-alignment residual (EdgeLineAngleSE3ProjectXYZOnlyPose),
+    mode 3 = both (EdgeLineWithAngleSE3ProjectXYZOnlyPose,
+    include/OptimizableTypes.h:305,346,390).
+
+    run(pose0 [3,4], l_obs [L,3], dir_obs [L,2], Xs [L,3], Xe [L,3],
+        valid_l, is2_l) -> (pose, inlier_l, n_inliers)
+    """
+    assert mode in (1, 2, 3)
+    res_ep = RES.make_line_reproj_fixed(K)
+    res_ang = RES.make_line_angle_fixed(K)
+    # angle residual is sin(angle); weight so the chi2 gate corresponds
+    # to ~7 deg at chi2=CHI2_MONO
+    ANG_INFO = 400.0
+
+    @jax.jit
+    def run(pose0, l_obs, dir_obs, Xs, Xe, valid_l, is2_l):
+        states = {"pose": pose0[None]}
+        mask = valid_l
+        zero = jnp.zeros(cap_ln, jnp.int32)
+        gate_key = "ep" if mode in (1, 3) else "ang"
+        for _ in range(rounds):
+            prob = E.Problem()
+            prob.add_dense("pose", 1, 6, RES.retract_pose_cw)
+            if mode in (1, 3):
+                prob.add_term(E.Term(
+                    name="ep", res_fn=res_ep, rdim=2,
+                    dense_refs=[("pose", zero)],
+                    const={"l": l_obs, "Xs": Xs, "Xe": Xe},
+                    mask=mask, info=is2_l,
+                    robust_delta=float(np.sqrt(CHI2_MONO))))
+            if mode in (2, 3):
+                prob.add_term(E.Term(
+                    name="ang", res_fn=res_ang, rdim=1,
+                    dense_refs=[("pose", zero)],
+                    const={"dir": dir_obs, "Xs": Xs, "Xe": Xe},
+                    mask=mask, info=is2_l * ANG_INFO,
+                    robust_delta=float(np.sqrt(CHI2_MONO))))
+            states, _, chi2s = E.optimize(prob, states, iters=iters)
+            mask = valid_l & (chi2s[gate_key] < CHI2_MONO)
+        return states["pose"][0], mask, jnp.sum(mask)
+
+    return run
+
+
+def make_local_ba_lines_only(K: PinholeK, n_kf: int, n_ln: int,
+                             n_lobs: int, mode: int,
+                             rounds: int = 2, iters: int = 8):
+    """Line-only local BA for `SLAM` modes 1-3 (reference
+    LocalBundleAdjustmentOnlyLines / ...Angle / ...WithAngle,
+    src/Optimizer.cc:6181,6433,6689): poses + Schur-eliminated 6-DoF
+    line-endpoint landmarks, residual flavor per mode.
+
+    run(kf_poses [n_kf,3,4], kf_free, ln_ep [n_ln,6], ln_free,
+        lobs_kf [n_lobs], lobs_ln, lobs_eq [n_lobs,3],
+        lobs_dir [n_lobs,2], lobs_valid, lobs_is2)
+    -> (kf_poses, ln_ep, lobs_inlier)
+    """
+    assert mode in (1, 2, 3)
+    ANG_INFO = 400.0
+
+    @jax.jit
+    def run(kf_poses, kf_free, ln_ep, ln_free, lobs_kf, lobs_ln,
+            lobs_eq, lobs_dir, lobs_valid, lobs_is2):
+        states = {"pose": kf_poses, "ln": ln_ep}
+        mask = lobs_valid
+        gate_key = "line" if mode in (1, 3) else "ang"
+        for _ in range(rounds):
+            prob = E.Problem()
+            prob.add_dense("pose", n_kf, 6, RES.retract_pose_cw)
+            prob.add_landmarks("ln", n_ln, 6, RES.retract_additive)
+            if mode in (1, 3):
+                prob.add_term(E.Term(
+                    name="line", res_fn=RES.make_line_reproj(K), rdim=2,
+                    dense_refs=[("pose", lobs_kf)], lm_ref=("ln", lobs_ln),
+                    const={"l": lobs_eq}, mask=mask, info=lobs_is2,
+                    robust_delta=float(np.sqrt(CHI2_MONO))))
+            if mode in (2, 3):
+                prob.add_term(E.Term(
+                    name="ang", res_fn=RES.make_line_angle(K), rdim=1,
+                    dense_refs=[("pose", lobs_kf)], lm_ref=("ln", lobs_ln),
+                    const={"dir": lobs_dir}, mask=mask,
+                    info=lobs_is2 * ANG_INFO,
+                    robust_delta=float(np.sqrt(CHI2_MONO))))
+            states, _, chi2s = E.optimize(
+                prob, states, iters=iters,
+                dense_free_mask={"pose": kf_free},
+                lm_free_mask={"ln": ln_free})
+            mask = lobs_valid & (chi2s[gate_key] < CHI2_MONO)
+        return states["pose"], states["ln"], mask
 
     return run

@@ -69,6 +69,13 @@ class LocalMapper:
                 self.K, ba_kf_cap, ba_pt_cap, ba_obs_cap,
                 self.ba_ln_cap, self.ba_lobs_cap)
             self.recent_lns: List[np.ndarray] = []
+            # `SLAM` modes 1-3: line-only LBA flavor (reference
+            # LocalBundleAdjustmentOnlyLines(+Angle), src/Optimizer.cc:6181)
+            self.local_ba_lines_kernel = None
+            if int(cfg.slam_mode) in (1, 2, 3):
+                self.local_ba_lines_kernel = KN.make_local_ba_lines_only(
+                    self.K, ba_kf_cap, self.ba_ln_cap, self.ba_lobs_cap,
+                    int(cfg.slam_mode))
 
         # inertial machinery
         self.use_imu = cfg.sensor in (3, 4)
@@ -86,9 +93,14 @@ class LocalMapper:
                 cfg.imu.gravity, imu_init_cap)
             self.scale_refine_kernel = KN.make_scale_refine(
                 cfg.imu.gravity, imu_init_cap)
+            # lines join the inertial window BA when enabled (reference
+            # FullInertialBAwithLine, src/Optimizer.cc:1374)
+            self.liba_ln_cap = 256 if self.use_lines else 0
+            self.liba_lobs_cap = 512 if self.use_lines else 0
             self.liba_kernel = KN.make_local_inertial_ba(
                 self.K, ba_kf_cap, ba_pt_cap, ba_obs_cap,
-                self.R_cb, self.t_cb, cfg.imu.gravity)
+                self.R_cb, self.t_cb, cfg.imu.gravity,
+                n_ln=self.liba_ln_cap, n_lobs=self.liba_lobs_cap)
             self._kf_since_init = 0
 
     @property
@@ -112,9 +124,7 @@ class LocalMapper:
         self.search_in_neighbors(kf)
         if self.use_imu and not self.map.imu_initialized:
             self.maybe_initialize_imu()
-        import os
-        if self.use_imu and self.map.imu_initialized \
-                and not os.environ.get("PLVIO_DISABLE_LIBA"):
+        if self.use_imu and self.map.imu_initialized:
             self.local_inertial_ba(kf)
             self._kf_since_init += 1
             # periodic scale/gravity refinement pulses until the scale has
@@ -290,7 +300,9 @@ class LocalMapper:
             idx2, ok = self.epi_match(
                 jnp.asarray(m.kf_pose_cw[nb]), pose2,
                 jnp.asarray(m.kf_feat_uv[nb]), jnp.asarray(m.kf_feat_desc[nb]),
-                jnp.asarray(free1), uv2, d2, jnp.asarray(free2))
+                jnp.asarray(free1), uv2, d2, jnp.asarray(free2),
+                jnp.asarray(m.kf_feat_angle[nb]),
+                jnp.asarray(m.kf_feat_angle[kf]))
             ok_np = np.asarray(ok)
             if ok_np.sum() == 0:
                 continue
@@ -347,7 +359,7 @@ class LocalMapper:
         best covisible KFs via interpretation-plane intersection
         (reference CreateNewMapLines, src/LocalMapping.cc:1069)."""
         m = self.map
-        neighbors = m.covisible_kfs(kf, n=5, min_weight=5)
+        neighbors = m.covisible_kfs(kf, n=10, min_weight=5)
         created = []
 
         def angles(ep):
@@ -356,8 +368,15 @@ class LocalMapper:
 
         ep_k = m.kf_line_ep[kf]
         ang_k = angles(ep_k)
+        C_k = -m.kf_pose_cw[kf, :, :3].T @ m.kf_pose_cw[kf, :, 3]
         for nb in neighbors:
             if not m.kf_valid[nb]:
+                continue
+            # baseline / median-depth gate (reference CreateNewMapLines
+            # skips near-zero-parallax neighbors the same way points do)
+            C_n = -m.kf_pose_cw[nb, :, :3].T @ m.kf_pose_cw[nb, :, 3]
+            med_depth = self._median_depth(nb)
+            if med_depth <= 0 or np.linalg.norm(C_k - C_n) / med_depth < 0.01:
                 continue
             free_k = m.kf_line_valid[kf] & (m.kf_match_ln[kf] == INVALID)
             free_n = m.kf_line_valid[nb] & (m.kf_match_ln[nb] == INVALID)
@@ -491,12 +510,18 @@ class LocalMapper:
         if self.use_lines:
             ln_ids = np.unique(m.kf_match_ln[window])
             ln_ids = ln_ids[ln_ids >= 0]
-            ln_ids = ln_ids[m.ln_valid[ln_ids]][:self.ba_ln_cap]
+            ln_ids = ln_ids[m.ln_valid[ln_ids]]
+            # only multi-view-confirmed lines optimize poses: a 2-view
+            # line sits exactly on its two interpretation planes (zero
+            # residual by construction) yet its depth can be badly
+            # conditioned — letting it pull poses degrades VI accuracy
+            # ~8x on the synthetic orbit (measured)
+            ln_ids = ln_ids[m.ln_n_obs[ln_ids] >= 3][:self.ba_ln_cap]
             use_pl = len(ln_ids) >= 8
         if use_pl:
             ln_slot = np.full(m.max_lines, -1, np.int32)
             ln_slot[ln_ids] = np.arange(len(ln_ids))
-            lobs_kf, lobs_ln, lobs_eq = [], [], []
+            lobs_kf, lobs_ln, lobs_eq, lobs_dir = [], [], [], []
             for s, kfi in enumerate(slots):
                 match = m.kf_match_ln[kfi]
                 feat = np.nonzero((match >= 0) & np.isin(match, ln_ids))[0]
@@ -511,14 +536,38 @@ class LocalMapper:
                 l /= np.maximum(np.linalg.norm(l[:, :2], axis=1,
                                                keepdims=True), 1e-9)
                 lobs_eq.append(l.astype(np.float32))
+                d = ep[:, 2:] - ep[:, :2]
+                d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True),
+                                1e-6)
+                lobs_dir.append(d.astype(np.float32))
             lobs_kf = np.concatenate(lobs_kf)[:self.ba_lobs_cap]
             lobs_ln = np.concatenate(lobs_ln)[:self.ba_lobs_cap]
             lobs_eq = np.concatenate(lobs_eq)[:self.ba_lobs_cap]
+            lobs_dir = np.concatenate(lobs_dir)[:self.ba_lobs_cap]
             n_lobs = len(lobs_kf)
             ln_ep6 = np.zeros((self.ba_ln_cap, 6), np.float32)
             ln_ep6[:len(ln_ids)] = m.ln_ep[ln_ids]
             ln_free = np.zeros(self.ba_ln_cap, bool)
             ln_free[:len(ln_ids)] = True
+        if use_pl and self.local_ba_lines_kernel is not None:
+            # `SLAM` modes 1-3: poses from line observations alone
+            # (reference LocalBundleAdjustmentOnlyLines(+Angle),
+            # src/Optimizer.cc:6181,6433,6689); points stay fixed
+            new_poses, new_lns, inlier_l = self.local_ba_lines_kernel(
+                jnp.asarray(kf_poses), jnp.asarray(free_mask),
+                jnp.asarray(ln_ep6), jnp.asarray(ln_free),
+                jnp.asarray(pad(lobs_kf, self.ba_lobs_cap)),
+                jnp.asarray(pad(lobs_ln, self.ba_lobs_cap)),
+                jnp.asarray(pad(lobs_eq, self.ba_lobs_cap)),
+                jnp.asarray(pad(lobs_dir, self.ba_lobs_cap)),
+                jnp.asarray(pad(np.ones(n_lobs, bool), self.ba_lobs_cap,
+                                False)),
+                jnp.asarray(pad(np.ones(n_lobs, np.float32),
+                                self.ba_lobs_cap)))
+            m.ln_ep[ln_ids] = np.asarray(new_lns)[:len(ln_ids)]
+            new_pts = pt_xyz
+            inlier = jnp.ones(self.ba_obs_cap, bool)
+        elif use_pl:
             (new_poses, new_pts, new_lns, inlier, inlier_l) = \
                 self.local_ba_pl_kernel(
                     jnp.asarray(kf_poses), jnp.asarray(free_mask),
@@ -870,7 +919,7 @@ class LocalMapper:
         pt_free = np.zeros(self.ba_pt_cap, bool)
         pt_free[:len(pt_ids)] = True
 
-        (pose_out, vel_out, bg_out, ba_out, pt_out, inlier) = self.liba_kernel(
+        base_args = (
             jnp.asarray(kf_pose_wb), jnp.asarray(kf_vel), jnp.asarray(kf_bg),
             jnp.asarray(kf_ba), jnp.asarray(kf_free),
             jnp.asarray(pt_xyz), jnp.asarray(pt_free),
@@ -881,6 +930,55 @@ class LocalMapper:
             jnp.asarray(pad(obs_is2.astype(np.float32), self.ba_obs_cap)),
             stack, infos, jnp.asarray(edge_valid),
             jnp.asarray(rw_g), jnp.asarray(rw_a))
+        ln_ids = np.zeros(0, np.int32)
+        if self.liba_ln_cap > 0:
+            # line landmarks of the window (FullInertialBAwithLine
+            # parity); only multi-view-confirmed lines (see local_ba)
+            ln_ids = np.unique(m.kf_match_ln[win])
+            ln_ids = ln_ids[ln_ids >= 0]
+            ln_ids = ln_ids[m.ln_valid[ln_ids]]
+            ln_ids = ln_ids[m.ln_n_obs[ln_ids] >= 3][:self.liba_ln_cap]
+            ln_slot = np.full(m.max_lines, -1, np.int32)
+            ln_slot[ln_ids] = np.arange(len(ln_ids))
+            lobs_kf, lobs_ln, lobs_eq = [], [], []
+            for s, kfi in enumerate(win):
+                match = m.kf_match_ln[kfi]
+                feat = np.nonzero((match >= 0) & np.isin(match, ln_ids))[0]
+                if len(feat) == 0:
+                    continue
+                lobs_kf.append(np.full(len(feat), s, np.int32))
+                lobs_ln.append(ln_slot[match[feat]])
+                ep = m.kf_line_ep[kfi, feat]
+                sp = np.concatenate([ep[:, :2], np.ones((len(ep), 1))], 1)
+                e_ = np.concatenate([ep[:, 2:], np.ones((len(ep), 1))], 1)
+                leq = np.cross(sp, e_)
+                leq /= np.maximum(np.linalg.norm(leq[:, :2], axis=1,
+                                                 keepdims=True), 1e-9)
+                lobs_eq.append(leq.astype(np.float32))
+            if lobs_kf:
+                lobs_kf = np.concatenate(lobs_kf)[:self.liba_lobs_cap]
+                lobs_ln = np.concatenate(lobs_ln)[:self.liba_lobs_cap]
+                lobs_eq = np.concatenate(lobs_eq)[:self.liba_lobs_cap]
+            else:
+                lobs_kf = np.zeros(0, np.int32)
+                lobs_ln = np.zeros(0, np.int32)
+                lobs_eq = np.zeros((0, 3), np.float32)
+            ln_ep6 = np.zeros((self.liba_ln_cap, 6), np.float32)
+            ln_ep6[:len(ln_ids)] = m.ln_ep[ln_ids]
+            ln_free = np.zeros(self.liba_ln_cap, bool)
+            ln_free[:len(ln_ids)] = True
+            (pose_out, vel_out, bg_out, ba_out, pt_out, inlier,
+             ln_out) = self.liba_kernel(
+                *base_args,
+                jnp.asarray(ln_ep6), jnp.asarray(ln_free),
+                jnp.asarray(pad(lobs_kf, self.liba_lobs_cap)),
+                jnp.asarray(pad(lobs_ln, self.liba_lobs_cap)),
+                jnp.asarray(pad(lobs_eq, self.liba_lobs_cap)),
+                jnp.asarray(pad(np.ones(len(lobs_kf), bool),
+                                self.liba_lobs_cap, False)))
+        else:
+            (pose_out, vel_out, bg_out, ba_out, pt_out,
+             inlier) = self.liba_kernel(*base_args)
 
         free = kf_free[:n]
         m.kf_pose_wb[win[free]] = np.asarray(pose_out)[:n][free]
@@ -889,6 +987,10 @@ class LocalMapper:
         m.kf_bias_a[win[free]] = np.asarray(ba_out)[:n][free]
         m.set_cam_poses_from_body(win[free], self.Tbc)
         m.pt_xyz[pt_ids] = np.asarray(pt_out)[:len(pt_ids)]
+        if self.liba_ln_cap > 0 and len(ln_ids):
+            ln_new = np.asarray(ln_out)[:len(ln_ids)]
+            okl = np.all(np.isfinite(ln_new), axis=1)
+            m.ln_ep[ln_ids[okl]] = ln_new[okl]
 
     # ------------------------------------------------------------------
     def _merge_imu_into_next(self, cand: int, nxt: int) -> None:

@@ -51,6 +51,7 @@ class LoopCloser:
             pg_kf_cap, pg_edge_cap, four_dof=True)
         # GBA reuses the local-BA kernel at global capacities
         self.gba_kernel = None  # built lazily (big compile)
+        self.gba_pl_kernel = None  # point+line GBA, lazily built
         self._gba_caps = (128, 8192, gba_obs_cap)
         self.mapper = None      # wired by System for inertial full BA
         self.consistency: List[tuple] = []   # (candidate_group, votes)
@@ -137,7 +138,9 @@ class LoopCloser:
             exclude[chain[lo:]] = True
         cands, scores = self.kfdb.query_grouped(
             m.kf_feat_desc[kf], m.kf_feat_valid[kf], m.covis, m.kf_valid,
-            exclude=exclude, top_n=3)
+            exclude=exclude, top_n=3,
+            line_desc=m.kf_line_desc[kf] if self.cfg.use_lines else None,
+            line_valid=m.kf_line_valid[kf] if self.cfg.use_lines else None)
         if len(cands) == 0:
             self.consistency = []
             return None
@@ -383,6 +386,10 @@ class LoopCloser:
         if len(chain) < 3:
             return
         if len(chain) > kf_cap:
+            # over-capacity: recent window only; older KFs keep their
+            # pose-graph-corrected poses (logged, not silent)
+            print(f"[gba] map has {len(chain)} KFs > cap {kf_cap}: "
+                  f"optimizing the most recent {kf_cap}")
             keep = np.concatenate([[fixed_kf], chain[-(kf_cap - 1):]])
             chain = np.unique(keep)[:kf_cap]
         kf_slot = np.full(m.max_kf, -1, np.int32)
@@ -392,6 +399,8 @@ class LoopCloser:
         pt_ids = pt_ids[pt_ids >= 0]
         pt_ids = pt_ids[m.pt_valid[pt_ids]]
         if len(pt_ids) > pt_cap:
+            print(f"[gba] {len(pt_ids)} points > cap {pt_cap}: keeping "
+                  f"the most-observed {pt_cap}")
             order = np.argsort(-m.pt_n_obs[pt_ids])
             pt_ids = np.sort(pt_ids[order[:pt_cap]])
         if len(pt_ids) < 8:
@@ -404,6 +413,8 @@ class LoopCloser:
         ks, fs = np.nonzero((match >= 0) & (pt_slot[np.maximum(match, 0)] >= 0))
         pts = match[ks, fs]
         if len(ks) > obs_cap:
+            print(f"[gba] {len(ks)} observations > cap {obs_cap}: "
+                  f"uniform subsample")
             sel = np.sort(np.random.default_rng(0).choice(
                 len(ks), obs_cap, replace=False))
             ks, fs, pts = ks[sel], fs[sel], pts[sel]
@@ -428,17 +439,80 @@ class LoopCloser:
         pt_free = np.zeros(pt_cap, bool)
         pt_free[:len(pt_ids)] = True
 
-        if self.gba_kernel is None:
-            self.gba_kernel = KN.make_local_ba(
-                self.K, kf_cap, pt_cap, obs_cap, rounds=2, iters=5)
-        poses_out, pts_out, inl = self.gba_kernel(
-            jnp.asarray(kf_poses), jnp.asarray(kf_free),
-            jnp.asarray(pt_xyz), jnp.asarray(pt_free),
-            jnp.asarray(pad(obs_kf, obs_cap)),
-            jnp.asarray(pad(obs_pt, obs_cap)),
-            jnp.asarray(pad(obs_uv, obs_cap)),
-            jnp.asarray(np.arange(obs_cap) < len(obs_kf)),
-            jnp.asarray(pad(obs_is2, obs_cap, 1.0)))
+        # map lines join the global adjustment (reference
+        # BundleAdjustmentWithLines, src/Optimizer.cc:903)
+        ln_cap, lobs_cap = 1024, 4096
+        ln_ids = np.zeros(0, np.int32)
+        if self.cfg.use_lines:
+            ln_ids = np.unique(m.kf_match_ln[chain])
+            ln_ids = ln_ids[ln_ids >= 0]
+            ln_ids = ln_ids[m.ln_valid[ln_ids]]
+            if len(ln_ids) > ln_cap:
+                print(f"[gba] {len(ln_ids)} lines > cap {ln_cap}: keeping "
+                      f"the most-observed {ln_cap}")
+                order = np.argsort(-m.ln_n_obs[ln_ids])
+                ln_ids = np.sort(ln_ids[order[:ln_cap]])
+        use_pl = len(ln_ids) >= 8
+
+        if use_pl:
+            ln_slot = np.full(m.max_lines, -1, np.int32)
+            ln_slot[ln_ids] = np.arange(len(ln_ids))
+            lmatch = m.kf_match_ln[chain]                   # [K,Fl]
+            lks, lfs = np.nonzero(
+                (lmatch >= 0) & (ln_slot[np.maximum(lmatch, 0)] >= 0))
+            if len(lks) > lobs_cap:
+                print(f"[gba] {len(lks)} line obs > cap {lobs_cap}: "
+                      f"uniform subsample")
+                sel = np.sort(np.random.default_rng(0).choice(
+                    len(lks), lobs_cap, replace=False))
+                lks, lfs = lks[sel], lfs[sel]
+            lobs_kf = lks.astype(np.int32)
+            lobs_ln = ln_slot[lmatch[lks, lfs]]
+            ep = m.kf_line_ep[chain[lks], lfs]
+            sp = np.concatenate([ep[:, :2], np.ones((len(ep), 1))], 1)
+            e_ = np.concatenate([ep[:, 2:], np.ones((len(ep), 1))], 1)
+            leq = np.cross(sp, e_)
+            leq /= np.maximum(
+                np.linalg.norm(leq[:, :2], axis=1, keepdims=True), 1e-9)
+            lobs_eq = leq.astype(np.float32)
+            ln_ep6 = np.zeros((ln_cap, 6), np.float32)
+            ln_ep6[:len(ln_ids)] = m.ln_ep[ln_ids]
+            ln_free = np.zeros(ln_cap, bool)
+            ln_free[:len(ln_ids)] = True
+            if self.gba_pl_kernel is None:
+                self.gba_pl_kernel = KN.make_local_ba_pl(
+                    self.K, kf_cap, pt_cap, obs_cap, ln_cap, lobs_cap,
+                    rounds=2, iters=5)
+            (poses_out, pts_out, lns_out, inl, _) = self.gba_pl_kernel(
+                jnp.asarray(kf_poses), jnp.asarray(kf_free),
+                jnp.asarray(pt_xyz), jnp.asarray(pt_free),
+                jnp.asarray(pad(obs_kf, obs_cap)),
+                jnp.asarray(pad(obs_pt, obs_cap)),
+                jnp.asarray(pad(obs_uv, obs_cap)),
+                jnp.asarray(np.arange(obs_cap) < len(obs_kf)),
+                jnp.asarray(pad(obs_is2, obs_cap, 1.0)),
+                jnp.asarray(ln_ep6), jnp.asarray(ln_free),
+                jnp.asarray(pad(lobs_kf, lobs_cap)),
+                jnp.asarray(pad(lobs_ln, lobs_cap)),
+                jnp.asarray(pad(lobs_eq, lobs_cap)),
+                jnp.asarray(np.arange(lobs_cap) < len(lobs_kf)),
+                jnp.asarray(pad(np.ones(len(lobs_kf), np.float32),
+                                lobs_cap)))
+            lns_out = np.asarray(lns_out)
+            okl = np.all(np.isfinite(lns_out[:len(ln_ids)]), axis=1)
+            m.ln_ep[ln_ids[okl]] = lns_out[:len(ln_ids)][okl]
+        else:
+            if self.gba_kernel is None:
+                self.gba_kernel = KN.make_local_ba(
+                    self.K, kf_cap, pt_cap, obs_cap, rounds=2, iters=5)
+            poses_out, pts_out, inl = self.gba_kernel(
+                jnp.asarray(kf_poses), jnp.asarray(kf_free),
+                jnp.asarray(pt_xyz), jnp.asarray(pt_free),
+                jnp.asarray(pad(obs_kf, obs_cap)),
+                jnp.asarray(pad(obs_pt, obs_cap)),
+                jnp.asarray(pad(obs_uv, obs_cap)),
+                jnp.asarray(np.arange(obs_cap) < len(obs_kf)),
+                jnp.asarray(pad(obs_is2, obs_cap, 1.0)))
         poses_out = np.asarray(poses_out)
         pts_out = np.asarray(pts_out)
         ok = np.all(np.isfinite(poses_out[:len(chain)]), axis=(1, 2))

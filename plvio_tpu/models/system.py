@@ -68,9 +68,17 @@ class System:
         # KeyFrameDatabase built in System::System src/System.cc:83-108)
         from . import vocabulary as V
         from .kfdb import AtlasKeyFrameDatabase
-        self.vocabulary = V.random_vocabulary(seed=cfg.seed, k=10, depth=4)
+        # two trained vocabularies (reference loads ORBvoc + LSvoc,
+        # src/System.cc:83-105); assets shipped by scripts/train_vocab.py,
+        # deterministic-random fallback when absent
+        self.vocabulary = V.default_vocabulary("orb", seed=cfg.seed)
+        self.line_vocabulary = \
+            V.default_vocabulary("lbd", seed=cfg.seed + 1) \
+            if cfg.use_lines else None
         self.kfdb = AtlasKeyFrameDatabase(
-            self.vocabulary, cfg.map.max_keyframes, self.n_feat, self.atlas)
+            self.vocabulary, cfg.map.max_keyframes, self.n_feat, self.atlas,
+            line_voc=self.line_vocabulary,
+            n_line_feat=self.atlas.current.n_line_feat)
 
         self.tracker = Tracker(cfg, self.atlas, self.n_feat)
         self.tracker.kfdb = self.kfdb
@@ -214,7 +222,9 @@ class System:
 
     def _process_kf(self, kf: int):
         m = self.atlas.current
-        self.kfdb.add_keyframe(kf, m.kf_feat_desc[kf], m.kf_feat_valid[kf])
+        self.kfdb.add_keyframe(kf, m.kf_feat_desc[kf], m.kf_feat_valid[kf],
+                               line_desc=m.kf_line_desc[kf],
+                               line_valid=m.kf_line_valid[kf])
         culled = self.mapper.process_keyframe(
             kf, protect=(self.tracker.ref_kf,))
         if culled:

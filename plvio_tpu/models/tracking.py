@@ -80,6 +80,12 @@ class Tracker:
                 self.K, self.n_line_feat, self.local_ln_cap)
             self.pose_opt_pl = KN.make_fast_pose_optimizer_pl(
                 self.K, local_pts_cap, self.local_ln_cap)
+        # `SLAM` modes 1-3: line-only pose optimization flavors
+        # (reference src/Tracking.cc:4287-4291 dispatch)
+        self.pose_opt_line_only = None
+        if self.use_lines and int(cfg.slam_mode) in (1, 2, 3):
+            self.pose_opt_line_only = KN.make_pose_opt_line_only(
+                self.K, self.local_ln_cap, int(cfg.slam_mode))
         self.last_line_feats = None
         self.last_feat_ln = None
 
@@ -256,6 +262,10 @@ class Tracker:
         gate = M.window_gate(f0.uv_und, f1.uv_und, 100.0)
         idx, ok = M.match_nn_ratio(dist, f0.valid, f1.valid, gate,
                                    max_dist=60.0, ratio=0.9)
+        # rotation-consistency: keep only the 3 dominant orientation-
+        # difference bins (reference SearchForInitialization histogram,
+        # src/ORBmatcher.cc:706 + ComputeThreeMaxima :1365-1397)
+        ok = M.rotation_histogram_filter(f0.angle, f1.angle, idx, ok)
         n_matches = int(ok.sum())
         if n_matches < 80:
             self.init_feats = feats  # slide the window forward
@@ -562,6 +572,31 @@ class Tracker:
         t = R_v @ t_l + t_v
         return np.concatenate([R, t[:, None]], 1)
 
+    def _match_and_record_lines(self, pose) -> int:
+        """Match local map lines against this frame's detected segments
+        at a given (already-optimized) pose and record the observation
+        bindings + found/visible stats — the bookkeeping half of the
+        line branch, used in VI mode where the pose itself comes from
+        the inertial optimizer (reference Tracking.cc:3988-4061)."""
+        m = self.map
+        lf = self._frame_lines
+        ln_ids, ln_live, (ln_ep6, ln_desc) = self._gather_local_lines()
+        obs_desc = M.pack_bits_u32(lf.desc)
+        ln_feat_idx, ln_matched, _ = self.line_proj_match(
+            jnp.asarray(pose), jnp.asarray(ln_ep6),
+            jnp.asarray(ln_desc), jnp.asarray(ln_live),
+            lf.ep, obs_desc, lf.angle, lf.valid, lf.lineq)
+        matched_np = np.asarray(ln_matched)
+        ln_feat_np = np.asarray(ln_feat_idx)
+        feat_ln = np.full(self.n_line_feat, INVALID, np.int32)
+        good_l = np.nonzero(matched_np)[0]
+        feat_ln[ln_feat_np[good_l]] = ln_ids[good_l]
+        self.last_feat_ln = feat_ln
+        self.last_line_feats = lf
+        m.ln_visible[ln_ids[ln_live]] += 1
+        m.ln_found[ln_ids[good_l]] += 1
+        return len(good_l)
+
     def _gather_local_lines(self):
         """Local map lines from the covisibility neighborhood (reference
         UpdateLocalPointsAndLines, src/Tracking.cc:5354)."""
@@ -587,10 +622,8 @@ class Tracker:
         return ids, live & m.pt_valid[safe], (xyz, desc)
 
     def _track_frame(self, feats: Features, timestamp: float) -> bool:
-        import os
         m = self.map
-        vi_mode = self.use_imu and m.imu_initialized \
-            and not os.environ.get("PLVIO_DISABLE_VIOPT")
+        vi_mode = self.use_imu and m.imu_initialized
         preint_frame = None
         if vi_mode and self._frame_imu is not None:
             # IMU state prediction from the last frame (reference
@@ -661,6 +694,14 @@ class Tracker:
             self.frame_bg = np.asarray(bg)
             self.frame_ba = np.asarray(ba)
             pose = jnp.asarray(pose)
+            # line matching still runs in VI mode (reference
+            # src/Tracking.cc:3988-4061 matches lines regardless of IMU;
+            # only the pose optimizer dispatch differs, :4282-4315) —
+            # observations feed map-line creation/culling and the PL
+            # local BA even though the inertial pose-only opt is
+            # point+IMU (parity with PoseInertialOptimizationLastFrame)
+            if self.use_lines and self._frame_lines is not None:
+                self._match_and_record_lines(pose)
         elif self.use_lines and self._frame_lines is not None:
             lf = self._frame_lines
             ln_ids, ln_live, (ln_ep6, ln_desc) = self._gather_local_lines()
@@ -669,10 +710,37 @@ class Tracker:
                 jnp.asarray(pose_pred), jnp.asarray(ln_ep6),
                 jnp.asarray(ln_desc), jnp.asarray(ln_live),
                 lf.ep, obs_desc, lf.angle, lf.valid, lf.lineq)
-            pose, inlier, inl_l, n_inl = self.pose_opt_pl(
-                jnp.asarray(pose_pred), uv_m, jnp.asarray(xyz), matched, is2,
-                l_eq, jnp.asarray(ln_ep6[:, :3]), jnp.asarray(ln_ep6[:, 3:]),
-                ln_matched, jnp.ones(self.local_ln_cap, jnp.float32))
+            if self.pose_opt_line_only is not None \
+                    and int(jnp.sum(ln_matched)) >= 8:
+                # SLAM modes 1-3: pose from lines alone (reference
+                # PoseOptimizationOnlyLine(+Angles), src/Optimizer.cc:3406)
+                ep_obs = np.asarray(lf.ep)[np.asarray(ln_feat_idx)]
+                dirs = ep_obs[:, 2:] - ep_obs[:, :2]
+                dirs = dirs / np.maximum(
+                    np.linalg.norm(dirs, axis=-1, keepdims=True), 1e-6)
+                pose, inl_l, n_inl_l = self.pose_opt_line_only(
+                    jnp.asarray(pose_pred), l_eq,
+                    jnp.asarray(dirs, jnp.float32),
+                    jnp.asarray(ln_ep6[:, :3]), jnp.asarray(ln_ep6[:, 3:]),
+                    ln_matched, jnp.ones(self.local_ln_cap, jnp.float32))
+                # point inliers at the line-only pose (bookkeeping only)
+                pose_np = np.asarray(pose)
+                pc = np.asarray(xyz) @ pose_np[:, :3].T + pose_np[:, 3]
+                z_ = np.maximum(pc[:, 2], 1e-4)
+                pred = np.stack([
+                    self.K.fx * pc[:, 0] / z_ + self.K.cx,
+                    self.K.fy * pc[:, 1] / z_ + self.K.cy], -1)
+                r2 = np.sum((pred - np.asarray(uv_m)) ** 2, -1)
+                chi2 = r2 * np.asarray(is2)
+                inlier = jnp.asarray(np.asarray(matched) & (chi2 < 5.991)
+                                     & (pc[:, 2] > 0.05))
+                n_inl = int(n_inl_l) + int(jnp.sum(inlier))
+            else:
+                pose, inlier, inl_l, n_inl = self.pose_opt_pl(
+                    jnp.asarray(pose_pred), uv_m, jnp.asarray(xyz),
+                    matched, is2, l_eq,
+                    jnp.asarray(ln_ep6[:, :3]), jnp.asarray(ln_ep6[:, 3:]),
+                    ln_matched, jnp.ones(self.local_ln_cap, jnp.float32))
             # line bookkeeping: map observed line feature -> map line id
             inl_l_np = np.asarray(inl_l)
             ln_feat_np = np.asarray(ln_feat_idx)
@@ -812,18 +880,38 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _need_keyframe(self) -> bool:
-        """Simplified NeedNewKeyFrame (reference src/Tracking.cc:4552):
-        insert when tracked inliers fall below a fraction of the reference
-        KF's matches or the frame gap is large."""
+        """NeedNewKeyFrame (reference src/Tracking.cc:4552).  Conditions
+        mirrored: c1a frame-gap >= max interval; inertial cadence (a KF
+        at least every 0.5 s once the IMU is initialized, reference
+        :4622); c2 tracked inliers below a sensor-dependent fraction of
+        the reference KF's matches (thRefRatio 0.9 mono / 0.75 stereo /
+        0.65 inertial, :4676-4684) while still above the minimum."""
         if self.only_tracking:   # pure localization never maps
             return False
         m = self.map
         ref_matches = int((m.kf_match_pt[self.ref_kf] >= 0).sum())
         gap = self.frame_idx - self.last_kf_frame_idx
+        if gap < max(self.cfg.tracking.kf_min_interval, 1):
+            return False
         if gap >= self.cfg.tracking.kf_max_interval:
             return True
-        weak = self.last_n_inliers < 0.6 * max(ref_matches, 1)
-        return weak and gap >= 1 and self.last_n_inliers > 15
+        # inertial cadence: temporal chain must stay dense enough for
+        # preintegration (reference inserts every 0.5 s with IMU)
+        if self.use_imu and m.imu_initialized \
+                and self.last_frame_time is not None \
+                and self.ref_kf >= 0 \
+                and self.last_frame_time - m.kf_timestamp[self.ref_kf] >= 0.5:
+            return True
+        # (the reference couples c2 with a mapper-idle check c1b; our
+        # mapper runs synchronously per KF, so c1b is always true and the
+        # ratio alone sets the cadence — 0.75 keeps KF density close to
+        # the reference's post-culling density)
+        if self.use_imu and m.imu_initialized:
+            ratio = 0.65
+        else:
+            ratio = 0.75 if m.n_kf > 2 else 0.6
+        weak = self.last_n_inliers < ratio * max(ref_matches, 1)
+        return weak and self.last_n_inliers > 15
 
     def _create_keyframe(self, feats: Features, timestamp: float) -> None:
         m = self.map

@@ -130,3 +130,39 @@ def make_bow_pipeline(voc: Vocabulary, n_feat: int):
         return wid, bow_vector(voc, wid)
 
     return run
+
+
+def save(voc: Vocabulary, path: str) -> None:
+    """Persist a vocabulary as packed sign bits (the 11k x 256 {-1,+1}
+    centroid tensors compress 32x; analog of the reference's ORBvoc.txt /
+    LSvoc.txt files loaded at src/System.cc:83-105)."""
+    arrays = {}
+    for l, C in enumerate(voc.centroids):
+        bits = (np.asarray(C, np.float32) > 0).astype(np.uint8)
+        arrays[f"level_{l}"] = np.packbits(bits, axis=-1)
+    np.savez_compressed(path, k=voc.k, depth=voc.depth, **arrays)
+
+
+def load(path: str) -> Vocabulary:
+    z = np.load(path)
+    k = int(z["k"])
+    depth = int(z["depth"])
+    cents = []
+    for l in range(depth):
+        bits = np.unpackbits(z[f"level_{l}"], axis=-1)[:, :256]
+        cents.append(jnp.asarray(bits.astype(np.float32) * 2.0 - 1.0,
+                                 jnp.bfloat16))
+    return Vocabulary(centroids=tuple(cents), k=k, depth=depth)
+
+
+def default_vocabulary(kind: str = "orb", seed: int = 0) -> Vocabulary:
+    """The shipped trained vocabulary (assets/{orb,lbd}voc.npz, built by
+    scripts/train_vocab.py) with a deterministic random fallback when the
+    asset is absent — mirroring System::System's two-vocabulary load
+    (reference src/System.cc:83-105: ORBvoc + LSvoc)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        f"{kind}voc.npz")
+    if os.path.exists(path):
+        return load(path)
+    return random_vocabulary(seed=seed, k=10, depth=4)

@@ -474,14 +474,218 @@ def line_equation(ep: jnp.ndarray) -> jnp.ndarray:
     return l / jnp.maximum(n, 1e-9)[:, None]
 
 
+def merge_collinear(ep: jnp.ndarray, valid: jnp.ndarray,
+                    angle_tol: float = 0.20, perp_tol: float = 2.5,
+                    gap_tol: float = 30.0, iters: int = 8):
+    """Merge collinear segment fragments into long segments.
+
+    Detectors fragment long image lines into short pieces whose 2-point
+    direction is noisy (a ±1 px endpoint wobble on a 25 px fragment is a
+    ~5 deg direction error, which wrecks the interpretation-plane
+    triangulation geometry).  Fragments that agree in angle, mutual
+    perpendicular offset, and are adjacent along the line (projection
+    gap < gap_tol) are unioned (pointer-jumping min-label over the small
+    [L,L] adjacency) and refit: direction from the length-weighted
+    fragment directions, endpoints = extreme member-endpoint projections.
+    The reference gets long segments from LSD's region-grow over the full
+    support (src/LSD/lsd.cpp); this is the fixed-shape equivalent.
+
+    Returns (ep, length, valid) with merged children invalidated.
+    """
+    L = ep.shape[0]
+    d = ep[:, 2:] - ep[:, :2]
+    seg_len = jnp.sqrt(jnp.sum(d * d, -1))
+    dn = d / jnp.maximum(seg_len, 1e-6)[:, None]
+    mid = (ep[:, :2] + ep[:, 2:]) / 2
+    theta = jnp.arctan2(dn[:, 1], dn[:, 0]) % jnp.pi
+
+    dth = jnp.abs(theta[:, None] - theta[None, :]) % jnp.pi
+    dth = jnp.minimum(dth, jnp.pi - dth)
+    dm = mid[None, :, :] - mid[:, None, :]                 # [i,j,2]
+    # mutual perpendicular offsets of j's midpoint from i's line
+    perp_ij = jnp.abs(-dn[:, None, 1] * dm[..., 0]
+                      + dn[:, None, 0] * dm[..., 1])
+    perp_ji = jnp.abs(-dn[None, :, 1] * dm[..., 0]
+                      + dn[None, :, 0] * dm[..., 1])
+    # gap along i's direction between the two projection intervals
+    along = jnp.abs(dn[:, None, 0] * dm[..., 0]
+                    + dn[:, None, 1] * dm[..., 1])
+    gap = along - (seg_len[:, None] + seg_len[None, :]) / 2
+    # perpendicular tolerance grows with separation: a short fragment's
+    # own direction noise (~+-5 deg) displaces a distant neighbour's
+    # midpoint off its fitted line even when truly collinear
+    ptol = jnp.minimum(perp_tol + 0.09 * along, 6.0)
+    link = (dth < angle_tol) & (perp_ij < ptol) & (perp_ji < ptol) \
+        & (gap < gap_tol) & valid[:, None] & valid[None, :]
+
+    idx = jnp.arange(L)
+    labels = jnp.where(valid, idx, L)
+
+    def step(labels, _):
+        cand = jnp.where(link, labels[None, :].repeat(L, 0), L)
+        best = jnp.minimum(labels, cand.min(-1))
+        best = jnp.minimum(best, jnp.where(
+            best < L, labels[jnp.clip(best, 0, L - 1)], L))
+        return best, None
+
+    labels, _ = jax.lax.scan(step, labels, None, length=iters)
+    lbl = jnp.clip(labels, 0, L)
+
+    # refit per component from the member ENDPOINT scatter: the merged
+    # baseline is long, so the principal axis of the endpoint cloud is
+    # far more accurate than any fragment's own 2-point direction
+    w = jnp.where(valid & (labels < L), seg_len, 0.0)
+    acc = jnp.zeros(L + 1, jnp.float32)
+    wsum = acc.at[lbl].add(w)
+    exs = jnp.stack([ep[:, 0], ep[:, 2]], -1)       # [L,2] endpoint xs
+    eys = jnp.stack([ep[:, 1], ep[:, 3]], -1)
+    we = (w / 2)[:, None].repeat(2, 1)
+    sx = acc.at[lbl].add((we * exs).sum(-1))
+    sy = acc.at[lbl].add((we * eys).sum(-1))
+    mx = sx / jnp.maximum(wsum, 1e-6)
+    my = sy / jnp.maximum(wsum, 1e-6)
+    dxs = exs - mx[lbl][:, None]
+    dys = eys - my[lbl][:, None]
+    sxx = acc.at[lbl].add((we * dxs * dxs).sum(-1))
+    sxy = acc.at[lbl].add((we * dxs * dys).sum(-1))
+    syy = acc.at[lbl].add((we * dys * dys).sum(-1))
+    tr = sxx + syy
+    disc = jnp.sqrt(jnp.maximum(tr * tr / 4 - (sxx * syy - sxy ** 2), 0.0))
+    lam1 = tr / 2 + disc
+    vx = sxy
+    vy = lam1 - sxx
+    vn = jnp.sqrt(vx * vx + vy * vy)
+    # degenerate scatter (single fragment): fall back to its own direction
+    own = jnp.concatenate([dn, jnp.zeros((1, 2), dn.dtype)], 0)
+    vx = jnp.where(vn > 1e-6, vx / jnp.maximum(vn, 1e-9), own[:, 0])
+    vy = jnp.where(vn > 1e-6, vy / jnp.maximum(vn, 1e-9), own[:, 1])
+    # extremes of member endpoints projected on the merged direction
+    proj_s = (ep[:, 0] - mx[lbl]) * vx[lbl] + (ep[:, 1] - my[lbl]) * vy[lbl]
+    proj_e = (ep[:, 2] - mx[lbl]) * vx[lbl] + (ep[:, 3] - my[lbl]) * vy[lbl]
+    pmin_c = jnp.minimum(proj_s, proj_e)
+    pmax_c = jnp.maximum(proj_s, proj_e)
+    big = jnp.full(L + 1, 1e9, jnp.float32)
+    pmin = big.at[lbl].min(jnp.where(w > 0, pmin_c, 1e9))
+    pmax = (-big).at[lbl].max(jnp.where(w > 0, pmax_c, -1e9))
+
+    is_root = valid & (labels == idx)
+    x1 = (mx + pmin * vx)[:L]
+    y1 = (my + pmin * vy)[:L]
+    x2 = (mx + pmax * vx)[:L]
+    y2 = (my + pmax * vy)[:L]
+    ep_out = jnp.where(is_root[:, None],
+                       jnp.stack([x1, y1, x2, y2], -1), ep)
+    len_out = jnp.where(is_root, (pmax - pmin)[:L], 0.0)
+    return ep_out, len_out, is_root
+
+
+def refine_segments(gx: jnp.ndarray, gy: jnp.ndarray, ep: jnp.ndarray,
+                    valid: jnp.ndarray, n_samples: int = 48,
+                    search_r: float = 2.5, n_search: int = 11):
+    """Sub-pixel line refinement: snap sample points along each segment
+    to the gradient-magnitude centroid along the segment normal, then
+    total-least-squares refit the line through the snapped points.
+
+    This is what buys line triangulation its accuracy: a 2-point segment
+    direction needs ~0.2 deg to be usable at SLAM baselines, which only
+    a fit over the full edge support can deliver (the reference gets
+    this from LSD's region refinement, src/LSD/lsd.cpp `refine`).
+    """
+    H, W = gx.shape
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    L = ep.shape[0]
+    d = ep[:, 2:] - ep[:, :2]
+    seg_len = jnp.sqrt(jnp.sum(d * d, -1))
+    dn = d / jnp.maximum(seg_len, 1e-6)[:, None]
+    nrm = jnp.stack([-dn[:, 1], dn[:, 0]], -1)            # unit normal
+
+    t = jnp.linspace(0.05, 0.95, n_samples)               # [S]
+    base = ep[:, None, :2] + t[None, :, None] * d[:, None, :]   # [L,S,2]
+    off = jnp.linspace(-search_r, search_r, n_search)     # [O]
+    pts = base[:, :, None, :] + off[None, None, :, None] * nrm[:, None, None, :]
+
+    def bilinear(a, xy):
+        x = jnp.clip(xy[..., 0], 0.0, W - 1.001)
+        y = jnp.clip(xy[..., 1], 0.0, H - 1.001)
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx_ = x - x0
+        fy_ = y - y0
+        v00 = a[y0, x0]
+        v01 = a[y0, x0 + 1]
+        v10 = a[y0 + 1, x0]
+        v11 = a[y0 + 1, x0 + 1]
+        return (v00 * (1 - fx_) * (1 - fy_) + v01 * fx_ * (1 - fy_)
+                + v10 * (1 - fx_) * fy_ + v11 * fx_ * fy_)
+
+    m = bilinear(mag, pts)                                # [L,S,O]
+    # weight by alignment: only edges whose gradient is parallel to the
+    # segment normal belong to this line
+    gxs = bilinear(gx, pts)
+    gys = bilinear(gy, pts)
+    gdot = jnp.abs(gxs * nrm[:, None, None, 0] + gys * nrm[:, None, None, 1])
+    gnorm = jnp.sqrt(gxs * gxs + gys * gys)
+    align = gdot / jnp.maximum(gnorm, 1e-6)
+    w = m * jnp.where(align > 0.85, 1.0, 0.0)
+    wsum = w.sum(-1)                                      # [L,S]
+    snap = (w * off[None, None, :]).sum(-1) / jnp.maximum(wsum, 1e-6)
+    good_s = wsum > 1.0                                   # sample has edge mass
+    pref = base + snap[..., None] * nrm[:, None, :]       # snapped points
+
+    # weighted TLS fit over snapped points, two passes: the second
+    # rejects samples >1 px off the first fit (texture drawn across the
+    # line corrupts individual snaps; a trimmed refit removes them)
+    ws0 = jnp.where(good_s, wsum, 0.0)
+
+    def tls(ws):
+        W_ = ws.sum(-1)
+        mx = (ws * pref[..., 0]).sum(-1) / jnp.maximum(W_, 1e-6)
+        my = (ws * pref[..., 1]).sum(-1) / jnp.maximum(W_, 1e-6)
+        ux = pref[..., 0] - mx[:, None]
+        uy = pref[..., 1] - my[:, None]
+        sxx = (ws * ux * ux).sum(-1)
+        sxy = (ws * ux * uy).sum(-1)
+        syy = (ws * uy * uy).sum(-1)
+        tr = sxx + syy
+        disc = jnp.sqrt(jnp.maximum(
+            tr * tr / 4 - (sxx * syy - sxy ** 2), 0.0))
+        lam1 = tr / 2 + disc
+        vx = sxy
+        vy = lam1 - sxx
+        vn = jnp.sqrt(vx * vx + vy * vy)
+        vx = jnp.where(vn > 1e-6, vx / jnp.maximum(vn, 1e-9), dn[:, 0])
+        vy = jnp.where(vn > 1e-6, vy / jnp.maximum(vn, 1e-9), dn[:, 1])
+        return mx, my, vx, vy
+
+    mx, my, vx, vy = tls(ws0)
+    resid = jnp.abs(-(vy[:, None]) * (pref[..., 0] - mx[:, None])
+                    + vx[:, None] * (pref[..., 1] - my[:, None]))
+    ws1 = jnp.where(resid < 1.0, ws0, 0.0)
+    enough = ws1.sum(-1) > 0.5 * jnp.maximum(ws0.sum(-1), 1e-6)
+    mx, my, vx, vy = tls(jnp.where(enough[:, None], ws1, ws0))
+    # project original endpoints on the refit line
+    p_s = (ep[:, 0] - mx) * vx + (ep[:, 1] - my) * vy
+    p_e = (ep[:, 2] - mx) * vx + (ep[:, 3] - my) * vy
+    ep_ref = jnp.stack([mx + p_s * vx, my + p_s * vy,
+                        mx + p_e * vx, my + p_e * vy], -1)
+    # only trust the refit when most samples found edge support
+    n_good = good_s.sum(-1)
+    ok = valid & (n_good >= n_samples // 2)
+    return jnp.where(ok[:, None], ep_ref, ep)
+
+
 def extract_lines(img: jnp.ndarray, max_lines: int = 256,
                   detector: int = 0, **kw) -> LineFeatures:
-    """Full line front end: detect + LBD + line equations.  `detector`
+    """Full line front end: detect + merge collinear fragments +
+    gradient-snap sub-pixel refit + LBD + line equations.  `detector`
     selects the LSD-like cell detector (0) or the EDLines-like
     anchor-walk detector (1) — the reference's `extractor` YAML flag
     (src/LineExtractor.cc:45-60)."""
     det = detect_lines_ed if detector == 1 else detect_lines
     ep, ang, length, valid, (gx, gy) = det(img, max_lines, **kw)
+    ep, length, valid = merge_collinear(ep, valid)
+    ep = refine_segments(gx, gy, ep, valid)
+    ang = jnp.arctan2(ep[:, 3] - ep[:, 1], ep[:, 2] - ep[:, 0]) % jnp.pi
     desc = lbd_descriptors(gx, gy, ep, valid)
     return LineFeatures(ep=ep, angle=ang, length=length,
                         lineq=line_equation(ep), desc=desc, valid=valid)

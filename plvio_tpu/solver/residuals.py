@@ -197,9 +197,51 @@ def make_line_angle_fixed(K: PinholeK):
         uv_s = _project(K, R @ const["Xs"] + t)
         uv_e = _project(K, R @ const["Xe"] + t)
         d = uv_e - uv_s
-        d = d / jnp.maximum(jnp.linalg.norm(d), 1e-6)
+        # rsqrt-normalization: differentiable at d=0 (padded entries),
+        # where plain norm() has a NaN gradient that poisons the Hessian
+        d = d * jax.lax.rsqrt(jnp.sum(d * d) + 1e-12)
         # sin of angle between directions (sign-free via cross product)
         return jnp.stack([d[0] * const["dir"][1] - d[1] * const["dir"][0]])
+    return res
+
+
+def make_line_angle(K: PinholeK):
+    """BA version of the angle-consistency residual: (pose, line6) both
+    free (reference binary line-angle edges with VertexSBALineXYZ,
+    include/OptimizableTypes.h:476).  const = {'dir': [2] observed unit
+    direction}."""
+    def res(blocks, deltas, const):
+        P, L6 = blocks
+        dp, dl = deltas
+        R, t = retract_pose_cw_single(P, dp)
+        L6 = L6 + dl
+        uv_s = _project(K, R @ L6[:3] + t)
+        uv_e = _project(K, R @ L6[3:] + t)
+        d = uv_e - uv_s
+        d = d * jax.lax.rsqrt(jnp.sum(d * d) + 1e-12)
+        return jnp.stack([d[0] * const["dir"][1] - d[1] * const["dir"][0]])
+    return res
+
+
+def make_line_reproj_body_ba(K: PinholeK, Rcb: jnp.ndarray,
+                             tcb: jnp.ndarray):
+    """Line endpoint-to-line residual with the pose on the BODY frame,
+    (pose_wb, line6) both free — the line edge used inside inertial BAs
+    (reference FullInertialBAwithLine, src/Optimizer.cc:1374, projecting
+    through the ImuCamPose extrinsic).  const = {'l': [3]}."""
+    def res(blocks, deltas, const):
+        P, L6 = blocks
+        dp, dl = deltas
+        R_wb, p_wb = retract_pose_wb_single(P, dp)
+        L6n = L6 + dl
+        l = const["l"]
+        out = []
+        for k in range(2):
+            X = L6n[3 * k:3 * k + 3]
+            pc = Rcb @ (R_wb.T @ (X - p_wb)) + tcb
+            uv = _project(K, pc)
+            out.append(l[0] * uv[0] + l[1] * uv[1] + l[2])
+        return jnp.stack(out)
     return res
 
 

@@ -1,7 +1,11 @@
 """Stage-cost profiling in the REAL bench shape: lax.scan over a stack of
 distinct frames, timed with different scalar inputs per rep so no layer of
 the stack (or the dev-tunnel relay) can serve cached results."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 import jax

@@ -1,7 +1,11 @@
 """Stage-level profiling of the per-frame tracking hot path on the real
 chip.  Each stage is jitted separately and timed with a scan over N
 iterations on-device to amortize dispatch overhead."""
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
 import jax

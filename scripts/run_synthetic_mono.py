@@ -3,7 +3,10 @@
 Debug/benchmark driver for the minimum end-to-end slice (SURVEY §7.1
 stage 4).  Usage: python scripts/run_synthetic_mono.py [n_frames]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import time
 
 import jax

@@ -2,7 +2,10 @@
 (gravity + metric scale) and final ATE WITHOUT scale alignment — the
 point of visual-inertial fusion.
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 import time
 
 import jax
@@ -31,9 +34,11 @@ def main(n_frames: int = 80):
                              noise_gyro=1.7e-4, noise_acc=2e-3,
                              bias_gyro_mag=0.002, bias_acc_mag=0.01)
 
+    use_lines = "--nolines" not in sys.argv
     cfg = SystemConfig(sensor=Sensor.IMU_MONOCULAR,
                        camera=CameraConfig(dist=(0., 0., 0., 0.)),
-                       imu=ImuConfig(Tbc=IDENTITY_TBC))
+                       imu=ImuConfig(Tbc=IDENTITY_TBC),
+                       use_lines=use_lines)
     slam = System(cfg)
 
     n_ok = 0

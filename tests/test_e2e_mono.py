@@ -15,7 +15,10 @@ from plvio_tpu.utils import lie
 @pytest.mark.slow
 def test_mono_synthetic_ate(rng):
     n_frames = 30
-    scene = syn.make_room_scene(rng, n_points=4000, n_lines=60)
+    # 200 scene lines -> a handful visible per frame; the detector merges
+    # fragments into long segments, so map-line counts are small but the
+    # lines are real (quality over fragment-count)
+    scene = syn.make_room_scene(rng, n_points=4000, n_lines=200)
     traj = syn.make_orbit_trajectory(duration=n_frames / 20.0, fps=20.0,
                                      radius=0.6)
     cfg = SystemConfig(camera=CameraConfig(dist=(0., 0., 0., 0.)))
@@ -28,6 +31,16 @@ def test_mono_synthetic_ate(rng):
         n_ok += pose is not None
 
     assert n_ok >= n_frames - 5, f"only {n_ok}/{n_frames} frames tracked"
+
+    # the point+line pipeline must actually populate the map with lines:
+    # detection -> collinear merge -> pair matching -> interpretation-
+    # plane triangulation -> culling survival
+    m = slam.atlas.current
+    n_lines = int(m.ln_valid.sum())
+    assert n_lines >= 3, f"only {n_lines} map lines survived"
+    # and they are repeatedly re-observed by tracking (found stats grow)
+    assert int(m.ln_found[m.ln_valid].sum()) >= 2 * n_lines
+
     est = slam.trajectory()
     q = np.asarray(lie.rot_to_quat(jnp.asarray(traj.R_wb, jnp.float32)))
     gt = TIO.Trajectory(traj.timestamps, traj.p_wb, q)

@@ -78,3 +78,65 @@ def test_ed_full_frontend(rng):
     assert np.isfinite(np.asarray(lf.lineq)).all()
     d = np.asarray(lf.desc, np.float32)
     assert set(np.unique(d[v])) <= {-1.0, 1.0}
+
+
+def test_line_triangulator_two_view():
+    """Interpretation-plane line triangulation: exact recovery, noise
+    robustness at a usable baseline, and rejection of mismatched pairs
+    (reference CreateNewMapLines endpoint back-projection,
+    src/LocalMapping.cc:1157-1280)."""
+    import jax.numpy as jnp
+    from plvio_tpu.models.kernels import make_line_triangulator
+    from plvio_tpu.solver.residuals import PinholeK
+
+    K = PinholeK(fx=458.0, fy=457.0, cx=367.0, cy=248.0)
+    cap = 8
+    rng = np.random.default_rng(0)
+    Xs = np.array([[0.3, 0.2, 1.5], [-0.5, 0.1, 2.0],
+                   [0.0, -0.3, 1.2], [0.4, 0.4, 3.0]] * 2, np.float32)
+    Xe = Xs + np.array([[0.5, 0.1, 0.2], [0.0, 0.6, 0.1],
+                        [0.4, 0.0, 0.3], [0.2, 0.5, 0.0]] * 2, np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t1 = np.zeros(3, np.float32)
+    t2 = np.array([-0.3, 0.05, 0.0], np.float32)
+
+    def proj(t, X):
+        pc = X + t
+        return np.stack([K.fx * pc[:, 0] / pc[:, 2] + K.cx,
+                         K.fy * pc[:, 1] / pc[:, 2] + K.cy], -1)
+
+    ep1 = np.concatenate([proj(t1, Xs), proj(t1, Xe)], -1).astype(np.float32)
+    ep2 = np.concatenate([proj(t2, Xs), proj(t2, Xe)], -1).astype(np.float32)
+    pose1 = np.concatenate([R, t1[:, None]], 1)
+    pose2 = np.concatenate([R, t2[:, None]], 1)
+    tri = make_line_triangulator(K, cap)
+    valid = np.ones(cap, bool)
+
+    # exact observations: all pass, endpoints recovered to float precision
+    XsA, XeA, good = tri(jnp.asarray(pose1), jnp.asarray(pose2),
+                         jnp.asarray(ep1), jnp.asarray(ep2),
+                         jnp.asarray(valid))
+    assert np.asarray(good).all()
+    assert np.linalg.norm(np.asarray(XsA) - Xs, axis=1).max() < 1e-3
+    assert np.linalg.norm(np.asarray(XeA) - Xe, axis=1).max() < 1e-3
+
+    # 0.5 px observation noise: all pass, error stays small at 0.3 m base
+    ep1n = ep1 + rng.normal(0, 0.5, ep1.shape).astype(np.float32)
+    ep2n = ep2 + rng.normal(0, 0.5, ep2.shape).astype(np.float32)
+    XsA, XeA, good = tri(jnp.asarray(pose1), jnp.asarray(pose2),
+                         jnp.asarray(ep1n), jnp.asarray(ep2n),
+                         jnp.asarray(valid))
+    assert np.asarray(good).all()
+    assert np.linalg.norm(np.asarray(XsA) - Xs, axis=1).max() < 0.1
+
+    # a zero-baseline pair is always degenerate
+    _, _, good = tri(jnp.asarray(pose1), jnp.asarray(pose1),
+                     jnp.asarray(ep1), jnp.asarray(ep1), jnp.asarray(valid))
+    assert not np.asarray(good).any()
+
+    # mismatched correspondences: most must be rejected
+    perm = np.roll(np.arange(cap), 1)
+    _, _, good = tri(jnp.asarray(pose1), jnp.asarray(pose2),
+                     jnp.asarray(ep1n), jnp.asarray(ep2n[perm]),
+                     jnp.asarray(valid))
+    assert np.asarray(good).sum() <= cap // 2
