@@ -304,3 +304,195 @@ def render_frame(scene: Scene, R_wc: np.ndarray, p_wc: np.ndarray,
     if rng is not None and noise > 0:
         img = img + rng.normal(0, noise, img.shape).astype(np.float32)
     return np.clip(img, 0, 255)
+
+
+# --------------------------------------------------------------------------
+# EuRoC-realism replay (the "machine hall"): larger structured world,
+# MH-style trajectory with a stationary start + excitation wiggle, 200 Hz
+# IMU with bias RANDOM WALK, and a renderer with motion blur / exposure
+# jitter / vignetting.  Stands in for EuRoC MH01 (no dataset in the
+# image): same camera geometry (752x480 @ 20 fps), same IMU rates and
+# noise class, metric ground truth for SE3 (not just Sim3) ATE.
+# --------------------------------------------------------------------------
+
+def make_hall_scene(rng: np.random.Generator, n_points: int = 9000,
+                    n_lines: int = 500,
+                    size=(16.0, 9.0, 5.0)) -> Scene:
+    """A machine-hall-like box: dense wall texture + structural lines
+    (girders/edges) on walls, floor and ceiling."""
+    hx, hy, hz = size[0] / 2, size[1] / 2, size[2] / 2
+    half = np.array([hx, hy, hz])
+
+    def on_faces(n):
+        face = rng.integers(0, 6, n)
+        pts = np.zeros((n, 3))
+        axis = face // 2
+        sign = np.where(face % 2 == 0, 1.0, -1.0)
+        for i in range(n):
+            others = [k for k in range(3) if k != axis[i]]
+            pts[i, axis[i]] = sign[i] * half[axis[i]]
+            pts[i, others[0]] = rng.uniform(-half[others[0]], half[others[0]])
+            pts[i, others[1]] = rng.uniform(-half[others[1]], half[others[1]])
+        return pts, axis, sign
+
+    pts, _, _ = on_faces(n_points)
+    lp, axis, sign = on_faces(n_lines)
+    lines = np.zeros((n_lines, 2, 3))
+    for i in range(n_lines):
+        others = [k for k in range(3) if k != axis[i]]
+        d = np.zeros(3)
+        # structural lines are mostly axis-aligned (girders), some diag
+        if rng.uniform() < 0.7:
+            d[others[rng.integers(0, 2)]] = 1.0
+        else:
+            ang = rng.uniform(0, np.pi)
+            d[others[0]] = np.cos(ang)
+            d[others[1]] = np.sin(ang)
+        length = rng.uniform(1.0, 5.0)
+        lines[i, 0] = lp[i] - d * length / 2
+        lines[i, 1] = lp[i] + d * length / 2
+        lines[i] = np.clip(lines[i], -half, half)
+        lines[i, :, axis[i]] = sign[i] * half[axis[i]]
+
+    face_axis = np.argmax(
+        np.abs(np.abs(pts) - half[None, :]) < 1e-9, axis=1)
+    n_sat = 4
+    dots = np.zeros((n_points * n_sat, 3))
+    for i in range(n_points):
+        others = [k for k in range(3) if k != face_axis[i]]
+        offs = rng.uniform(-0.25, 0.25, (n_sat, 2))
+        offs += np.sign(offs) * 0.1
+        for s in range(n_sat):
+            d = pts[i].copy()
+            d[others[0]] += offs[s, 0]
+            d[others[1]] += offs[s, 1]
+            dots[i * n_sat + s] = d
+    return Scene(
+        points=pts,
+        lines=lines,
+        point_polarity=rng.uniform(0.4, 1.0, n_points)
+        * rng.choice([-1.0, 1.0], n_points),
+        line_polarity=rng.uniform(0.5, 1.0, n_lines)
+        * rng.choice([-1.0, 1.0], n_lines),
+        texture_dots=dots,
+        texture_intensity=rng.uniform(0.3, 0.9, n_points * n_sat)
+        * rng.choice([-1.0, 1.0], n_points * n_sat),
+    )
+
+
+def _eval_mh(t: np.ndarray) -> SyntheticTrajectory:
+    """MH01-style closed-form path: ~3 s near-stationary start, an
+    excitation wiggle (the dataset starts with a hand-held shake so the
+    IMU initializes), then a slow sweep through the hall (Lissajous in
+    x/y with height bobbing), peak speed ~1 m/s."""
+    t = np.asarray(t, np.float64)
+    # smooth ramp 0 -> 1 over [t0, t0+3 s]
+    ramp = 0.5 * (1 + np.tanh((t - 6.0) / 2.0))
+    # excitation wiggle at 1.5-2.5 s
+    wig = np.exp(-0.5 * ((t - 3.0) / 0.8) ** 2)
+    A = np.array([5.5, 2.8, 0.9])
+    w = np.array([2 * np.pi / 45.0, 2 * np.pi / 31.0, 2 * np.pi / 17.0])
+    ph = np.array([0.3, 1.2, 0.7])
+
+    def pos(tt, rr, ww):
+        p = np.stack([
+            A[0] * np.sin(w[0] * tt + ph[0]) * rr,
+            A[1] * np.sin(w[1] * tt + ph[1]) * rr,
+            -0.8 + A[2] * np.sin(w[2] * tt + ph[2]) * rr], -1)
+        p[:, 0] += 0.25 * ww * np.sin(2 * np.pi * 1.9 * tt)
+        p[:, 1] += 0.20 * ww * np.sin(2 * np.pi * 2.3 * tt + 0.5)
+        p[:, 2] += 0.15 * ww * np.sin(2 * np.pi * 1.6 * tt + 1.1)
+        return p
+
+    dt = 1e-4
+    p = pos(t, ramp, wig)
+    rp = 0.5 * (1 + np.tanh((t + dt - 6.0) / 2.0))
+    rm = 0.5 * (1 + np.tanh((t - dt - 6.0) / 2.0))
+    wp = np.exp(-0.5 * ((t + dt - 3.0) / 0.8) ** 2)
+    wm = np.exp(-0.5 * ((t - dt - 3.0) / 0.8) ** 2)
+    v = (pos(t + dt, rp, wp) - pos(t - dt, rm, wm)) / (2 * dt)
+
+    # look direction: slow yaw sweep + pitch bob (NOT velocity-coupled,
+    # so the stationary start still has a defined attitude)
+    yaw = 0.35 * np.sin(w[0] * t * 1.3) + 0.8 * np.sin(w[1] * t * 0.7) \
+        + 0.15 * wig * np.sin(2 * np.pi * 1.1 * t)
+    pitch = 0.12 * np.sin(w[2] * t + 0.4) \
+        + 0.1 * wig * np.sin(2 * np.pi * 1.4 * t + 0.3)
+    look = np.stack([np.cos(yaw) * np.cos(pitch),
+                     np.sin(yaw) * np.cos(pitch),
+                     np.sin(pitch)], -1)
+    world_down = np.array([0.0, 0.0, -1.0])
+    x = np.cross(world_down, look)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    y = np.cross(look, x)
+    R = np.stack([x, y, look], axis=-1)
+    return SyntheticTrajectory(timestamps=np.asarray(t, np.float64),
+                               R_wb=R, p_wb=p, v_wb=v)
+
+
+def make_mh_trajectory(duration: float = 60.0,
+                       fps: float = 20.0) -> SyntheticTrajectory:
+    t = np.arange(0.0, duration, 1.0 / fps)
+    return _eval_mh(t)
+
+
+def synthesize_imu_mh(rng: np.random.Generator, duration: float,
+                      imu_rate: float = 200.0,
+                      noise_gyro: float = 1.7e-4, noise_acc: float = 2.0e-3,
+                      walk_gyro: float = 2.0e-5, walk_acc: float = 3.0e-3,
+                      bias_gyro_mag: float = 0.003,
+                      bias_acc_mag: float = 0.05) -> SyntheticImu:
+    """200 Hz IMU along the MH path with EuRoC-class noise AND bias
+    random walk (the reference's preintegration models the walk via its
+    bias-jacobian correction + RW edges; a constant-bias synthetic lets
+    those paths go untested)."""
+    from ..utils import lie
+    import jax.numpy as jnp
+
+    dt = 1.0 / imu_rate
+    t = np.arange(dt, duration - dt, dt)
+    fine_m = _eval_mh(t - dt)
+    fine_0 = _eval_mh(t)
+    fine_p = _eval_mh(t + dt)
+    n = len(t)
+    dR = np.einsum("nij,nik->njk", fine_m.R_wb, fine_p.R_wb)
+    w_body = np.asarray(lie.so3_log(jnp.asarray(dR, jnp.float32)),
+                        np.float64) / (2 * dt)
+    a_world = (fine_p.v_wb - fine_m.v_wb) / (2 * dt)
+    g_w = np.array([0.0, 0.0, -GRAVITY])
+    a_body = np.einsum("nij,ni->nj", fine_0.R_wb, a_world - g_w)
+
+    bg0 = rng.normal(0, bias_gyro_mag, 3)
+    ba0 = rng.normal(0, bias_acc_mag, 3)
+    # bias random walk: b_k = b_{k-1} + N(0, walk^2 * dt)
+    bg_w = np.cumsum(rng.normal(0, walk_gyro * np.sqrt(dt), (n, 3)), 0)
+    ba_w = np.cumsum(rng.normal(0, walk_acc * np.sqrt(dt), (n, 3)), 0)
+    sqrt_rate = np.sqrt(imu_rate)
+    gyro = w_body + bg0 + bg_w + rng.normal(0, noise_gyro * sqrt_rate, (n, 3))
+    acc = a_body + ba0 + ba_w + rng.normal(0, noise_acc * sqrt_rate, (n, 3))
+    return SyntheticImu(timestamps=t, gyro=gyro, acc=acc,
+                        bias_gyro=bg0, bias_acc=ba0)
+
+
+def render_frame_realistic(scene: Scene, traj_eval, t: float,
+                           rng: np.random.Generator,
+                           exposure_s: float = 0.01,
+                           n_sub: int = 3, noise: float = 3.0,
+                           **kw) -> np.ndarray:
+    """Photometric-realism render: motion blur by averaging `n_sub`
+    sub-exposure renders across the shutter interval, per-frame exposure
+    gain jitter, and radial vignetting."""
+    subs = []
+    for k in range(n_sub):
+        tk = t + exposure_s * (k / max(n_sub - 1, 1) - 0.5)
+        pose = traj_eval(np.array([tk]))
+        subs.append(render_frame(scene, pose.R_wb[0], pose.p_wb[0],
+                                 rng=None, noise=0.0, **kw))
+    img = np.mean(subs, axis=0)
+    h, w = img.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    r2 = (((xx - w / 2) / (w / 2)) ** 2 + ((yy - h / 2) / (h / 2)) ** 2)
+    img = img * (1.0 - 0.18 * r2)                       # vignette
+    img = img * rng.uniform(0.92, 1.08)                 # exposure jitter
+    img = img + rng.normal(0, noise, img.shape)         # shot/read noise
+    return np.clip(img, 0, 255).astype(np.float32)

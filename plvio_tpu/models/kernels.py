@@ -615,7 +615,8 @@ def make_projection_matcher(K: PinholeK, n_feat: int, cap_pts: int):
 
     @jax.jit
     def run(pose, pt_xyz, pt_desc, pt_valid, feat_uv, feat_desc,
-            feat_octave, feat_valid, radius, max_dist=80.0):
+            feat_octave, feat_valid, radius, max_dist=80.0,
+            pt_normal=None, pt_min_dist=None, pt_max_dist=None):
         R, t = pose[:, :3], pose[:, 3]
         pc = (R @ pt_xyz.T).T + t
         z = pc[:, 2]
@@ -624,6 +625,24 @@ def make_projection_matcher(K: PinholeK, n_feat: int, cap_pts: int):
         in_img = (z > 0.05) & (uv_proj[:, 0] >= 0) & (uv_proj[:, 0] < 2 * K.cx) \
             & (uv_proj[:, 1] >= 0) & (uv_proj[:, 1] < 2 * K.cy)
         proj_ok = pt_valid & in_img
+        # scale-invariance distance + viewing-angle gates (reference
+        # SearchByProjection's isInFrustum: mfMinDistance/mfMaxDistance
+        # range and normal.dot(view) >= 0.5, src/Frame.cc isInFrustum +
+        # MapPoint::PredictScale)
+        if pt_min_dist is not None:
+            C1 = -R.T @ t
+            view = pt_xyz - C1
+            d_cam = jnp.linalg.norm(view, axis=-1)
+            has_range = pt_max_dist > 1e-6
+            range_ok = (~has_range) | ((d_cam > 0.8 * pt_min_dist)
+                                       & (d_cam < 1.2 * pt_max_dist))
+            proj_ok = proj_ok & range_ok
+            if pt_normal is not None:
+                nn = jnp.linalg.norm(pt_normal, axis=-1)
+                has_n = nn > 1e-6
+                cos_v = jnp.sum(view * pt_normal, -1) / \
+                    jnp.maximum(d_cam * nn, 1e-9)
+                proj_ok = proj_ok & ((~has_n) | (cos_v > 0.5))
 
         d_pt = M.unpack_u32_to_pm1(pt_desc)
         d_ft = M.unpack_u32_to_pm1(feat_desc)

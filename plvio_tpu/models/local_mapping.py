@@ -122,6 +122,7 @@ class LocalMapper:
             self.cull_lines()
             self.create_new_lines(kf)
         self.search_in_neighbors(kf)
+        self.update_point_stats(kf)
         if self.use_imu and not self.map.imu_initialized:
             self.maybe_initialize_imu()
         if self.use_imu and self.map.imu_initialized:
@@ -147,7 +148,9 @@ class LocalMapper:
         to `keep` (skipping keyframes that already observe `keep`) and
         absorb the found/visible statistics."""
         m = self.map
-        rows, cols = np.nonzero(m.kf_match_pt == drop)
+        kfs = m.valid_kf_indices()
+        rl, cols = np.nonzero(m.kf_match_pt[kfs] == drop)
+        rows = kfs[rl]
         for r, c in zip(rows, cols):
             if (m.kf_match_pt[r] == keep).any():
                 m.kf_match_pt[r, c] = INVALID
@@ -421,6 +424,82 @@ class LocalMapper:
             created.append(lns)
         if created:
             self.recent_lns.append(np.concatenate(created))
+
+    def update_point_stats(self, kf: int) -> None:
+        """MapPoint statistics for the points bound in keyframe `kf`:
+        distinctive descriptor (the observation minimizing median
+        Hamming distance to the others, reference
+        MapPoint::ComputeDistinctiveDescriptors, src/MapPoint.cc), mean
+        viewing normal and scale-invariance distance range
+        (UpdateNormalAndDepth) — consumed by the projection matcher's
+        frustum gates (Frame::isInFrustum + MapPoint::PredictScale)."""
+        m = self.map
+        pt_ids = np.unique(m.kf_match_pt[kf])
+        pt_ids = pt_ids[pt_ids >= 0]
+        pt_ids = pt_ids[m.pt_valid[pt_ids]]
+        if len(pt_ids) == 0:
+            return
+        kfs = m.valid_kf_indices()
+        match = m.kf_match_pt[kfs]                            # [K,F]
+        sel = np.isin(match, pt_ids)
+        ks, fs = np.nonzero(sel)
+        pts = match[ks, fs]
+        order = np.argsort(pts, kind="stable")
+        ks, fs, pts = ks[order], fs[order], pts[order]
+        starts = np.searchsorted(pts, pt_ids, side="left")
+        ends = np.searchsorted(pts, pt_ids, side="right")
+
+        C_all = np.einsum("kji,kj->ki",
+                          m.kf_pose_cw[kfs][:, :, :3],
+                          -m.kf_pose_cw[kfs][:, :, 3])        # centers
+        scale = 1.2
+        n_levels = 8
+        # vectorized over all points with padded observation groups of
+        # up to G (a python per-point loop here costs seconds per KF)
+        G = 8
+        n_obs_pt = ends - starts
+        use = n_obs_pt >= 2
+        if not use.any():
+            return
+        pt_sel = pt_ids[use]
+        s0 = starts[use]
+        cnt = np.minimum(n_obs_pt[use], G)
+        gidx = s0[:, None] + np.arange(G)[None, :]            # [N,G]
+        gmask = np.arange(G)[None, :] < cnt[:, None]
+        gidx = np.minimum(gidx, len(ks) - 1)
+        okf = ks[gidx]                                        # [N,G]
+        ofe = fs[gidx]
+        X = m.pt_xyz[pt_sel]                                  # [N,3]
+        v = X[:, None, :] - C_all[okf]                        # [N,G,3]
+        d = np.linalg.norm(v, axis=-1)
+        v = v / np.maximum(d[..., None], 1e-9)
+        v = np.where(gmask[..., None], v, 0.0)
+        nrm = v.sum(1)
+        nrm /= np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True),
+                          1e-9)
+        m.pt_normal[pt_sel] = nrm.astype(np.float32)
+        # distance range from the newest observation's octave
+        ts = np.where(gmask, m.kf_timestamp[kfs[okf]], -np.inf)
+        j = np.argmax(ts, axis=1)
+        ar = np.arange(len(pt_sel))
+        lvl = m.kf_feat_octave[kfs[okf[ar, j]], ofe[ar, j]]
+        dist_ref = d[ar, j]
+        m.pt_max_dist[pt_sel] = (dist_ref * scale ** lvl).astype(np.float32)
+        m.pt_min_dist[pt_sel] = (m.pt_max_dist[pt_sel]
+                                 / scale ** (n_levels - 1))
+        # distinctive descriptor: min median Hamming to the others
+        descs = m.kf_feat_desc[kfs[okf], ofe]                 # [N,G,8] u32
+        bits = np.unpackbits(
+            descs.view(np.uint8).reshape(len(pt_sel), G, 32), axis=-1)
+        ham = (bits[:, :, None, :] != bits[:, None, :, :]).sum(-1)
+        pair_ok = gmask[:, :, None] & gmask[:, None, :]
+        ham = np.where(pair_ok, ham, 0)
+        # median over the valid row entries (pad-safe: use sum as a
+        # robust proxy when groups are small)
+        med = ham.sum(-1) / np.maximum(cnt[:, None] - 1, 1)
+        med = np.where(gmask, med, 1e9)
+        best = np.argmin(med, axis=1)
+        m.pt_desc[pt_sel] = descs[ar, best]
 
     def _median_depth(self, kf: int) -> float:
         m = self.map

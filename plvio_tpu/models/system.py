@@ -42,6 +42,12 @@ class System:
         self.cfg = cfg
         cam = cfg.camera
         self.camera = CAM.make_camera(cam)
+        # jitted once: per-call tracing of the iterative undistortion was
+        # ~0.3 s/frame of pure host overhead (zero-distortion cameras
+        # short-circuit to identity inside)
+        import jax as _jax
+        self._undistort = _jax.jit(
+            lambda uv: CAM.undistort_pixels(self.camera, uv))
         self.extract, self.level_specs = FE.make_extractor(
             cam.height, cam.width, cfg.orb.n_features,
             cfg.orb.n_levels, cfg.orb.scale_factor,
@@ -106,6 +112,14 @@ class System:
         self._kf_queue: "queue.Queue[int]" = queue.Queue()
         self._stop = threading.Event()
         self._mapper_thread: Optional[threading.Thread] = None
+        # THE map mutex (reference Map::mMutexMapUpdate discipline,
+        # include/Map.h:153): the tracker holds it for the map-touching
+        # back half of each frame (the reference holds it for the whole
+        # back half of TrackWithLines, src/Tracking.cc:2283), the async
+        # mapper holds it for each process_keyframe.  Front-end
+        # extraction runs OUTSIDE the lock — that is where the overlap
+        # (and the reference's parallelism) lives.
+        self.map_lock = threading.RLock()
         if async_mapping:
             self._mapper_thread = threading.Thread(
                 target=self._mapping_loop, daemon=True)
@@ -121,15 +135,17 @@ class System:
         img_dev = jnp.asarray(img, jnp.float32)
         feats = self.extract(img_dev)
         # undistort keypoint coordinates once per frame
-        und = CAM.undistort_pixels(self.camera, feats.uv)
+        und = self._undistort(feats.uv)
         feats = feats._replace(uv_und=und)
         line_feats = self._extract_frame_lines(img_dev)
-        pose = self.tracker.process_frame(feats, timestamp, imu=imu,
-                                          line_feats=line_feats)
+        with self.map_lock:
+            pose = self.tracker.process_frame(feats, timestamp, imu=imu,
+                                              line_feats=line_feats)
         self._drain_keyframes()
         # IMU init re-expressed the map: bring the tracker's frame state
         # into the new gravity-aligned metric frame
-        self._apply_pending_transform()
+        with self.map_lock:
+            self._apply_pending_transform()
         return pose
 
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
@@ -145,7 +161,7 @@ class System:
         imgR = jnp.asarray(img_right, jnp.float32)
         fL = self.extract(imgL)
         fR = self.extract(imgR)
-        und = CAM.undistort_pixels(self.camera, fL.uv)
+        und = self._undistort(fL.uv)
         fL = fL._replace(uv_und=und)
         bf = self.cfg.camera.baseline * self.cfg.camera.fx
         _, depth, has = ST.match_stereo(
@@ -163,16 +179,18 @@ class System:
                 lfR.ep, lfR.desc, lfR.angle, lfR.valid, bf)
             line_depth = (np.asarray(ds), np.asarray(de), np.asarray(lhas))
             from ..ops import lines as LN
-            sp = CAM.undistort_pixels(self.camera, lfL.ep[:, :2])
-            ep = CAM.undistort_pixels(self.camera, lfL.ep[:, 2:])
+            sp = self._undistort(lfL.ep[:, :2])
+            ep = self._undistort(lfL.ep[:, 2:])
             ep4 = jnp.concatenate([sp, ep], -1)
             line_feats = lfL._replace(ep=ep4, lineq=LN.line_equation(ep4))
-        pose = self.tracker.process_frame(fL, timestamp, imu=imu,
-                                          line_feats=line_feats,
-                                          depth=depth_np,
-                                          line_depth=line_depth)
+        with self.map_lock:
+            pose = self.tracker.process_frame(fL, timestamp, imu=imu,
+                                              line_feats=line_feats,
+                                              depth=depth_np,
+                                              line_depth=line_depth)
         self._drain_keyframes()
-        self._apply_pending_transform()
+        with self.map_lock:
+            self._apply_pending_transform()
         return pose
 
     def track_rgbd(self, img: np.ndarray, depth_img: np.ndarray,
@@ -182,18 +200,20 @@ class System:
         per-feature depth sampled from the depth image."""
         img_dev = jnp.asarray(img, jnp.float32)
         feats = self.extract(img_dev)
-        und = CAM.undistort_pixels(self.camera, feats.uv)
+        und = self._undistort(feats.uv)
         feats = feats._replace(uv_und=und)
         uv = np.asarray(feats.uv)
         ui = np.clip(uv[:, 0].astype(int), 0, depth_img.shape[1] - 1)
         vi = np.clip(uv[:, 1].astype(int), 0, depth_img.shape[0] - 1)
         depth_np = depth_img[vi, ui].astype(np.float32)
         line_feats = self._extract_frame_lines(img_dev)
-        pose = self.tracker.process_frame(feats, timestamp, imu=imu,
-                                          line_feats=line_feats,
-                                          depth=depth_np)
+        with self.map_lock:
+            pose = self.tracker.process_frame(feats, timestamp, imu=imu,
+                                              line_feats=line_feats,
+                                              depth=depth_np)
         self._drain_keyframes()
-        self._apply_pending_transform()
+        with self.map_lock:
+            self._apply_pending_transform()
         return pose
 
     def _extract_frame_lines(self, img_dev):
@@ -201,8 +221,8 @@ class System:
             return None
         from ..ops import lines as LN
         lf = self.extract_lines(img_dev)
-        sp = CAM.undistort_pixels(self.camera, lf.ep[:, :2])
-        ep = CAM.undistort_pixels(self.camera, lf.ep[:, 2:])
+        sp = self._undistort(lf.ep[:, :2])
+        ep = self._undistort(lf.ep[:, 2:])
         ep4 = jnp.concatenate([sp, ep], -1)
         return lf._replace(ep=ep4, lineq=LN.line_equation(ep4))
 
@@ -221,22 +241,24 @@ class System:
                 self._process_kf(kf)
 
     def _process_kf(self, kf: int):
-        m = self.atlas.current
-        self.kfdb.add_keyframe(kf, m.kf_feat_desc[kf], m.kf_feat_valid[kf],
-                               line_desc=m.kf_line_desc[kf],
-                               line_valid=m.kf_line_valid[kf])
-        culled = self.mapper.process_keyframe(
-            kf, protect=(self.tracker.ref_kf,))
-        if culled:
-            self.tracker.reanchor_records(culled)
-        if self.loop_closer is not None:
-            self.loop_closer.process_keyframe(kf)
-            merge = self.loop_closer.pending_merge
-            if merge is not None:
-                self.loop_closer.pending_merge = None
-                self.tracker.on_map_merged(**merge)
-        if self.relocalizer is not None:
-            self.relocalizer.process_keyframe(kf, m.kf_timestamp[kf])
+        with self.map_lock:
+            m = self.atlas.current
+            self.kfdb.add_keyframe(kf, m.kf_feat_desc[kf],
+                                   m.kf_feat_valid[kf],
+                                   line_desc=m.kf_line_desc[kf],
+                                   line_valid=m.kf_line_valid[kf])
+            culled = self.mapper.process_keyframe(
+                kf, protect=(self.tracker.ref_kf,))
+            if culled:
+                self.tracker.reanchor_records(culled)
+            if self.loop_closer is not None:
+                self.loop_closer.process_keyframe(kf)
+                merge = self.loop_closer.pending_merge
+                if merge is not None:
+                    self.loop_closer.pending_merge = None
+                    self.tracker.on_map_merged(**merge)
+            if self.relocalizer is not None:
+                self.relocalizer.process_keyframe(kf, m.kf_timestamp[kf])
 
     def _mapping_loop(self):
         while not self._stop.is_set():

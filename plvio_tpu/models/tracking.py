@@ -619,7 +619,9 @@ class Tracker:
         safe = np.clip(ids, 0, m.max_pts - 1)
         xyz = m.pt_xyz[safe]
         desc = m.pt_desc[safe]
-        return ids, live & m.pt_valid[safe], (xyz, desc)
+        stats = (m.pt_normal[safe], m.pt_min_dist[safe],
+                 m.pt_max_dist[safe])
+        return ids, live & m.pt_valid[safe], (xyz, desc), stats
 
     def _track_frame(self, feats: Features, timestamp: float) -> bool:
         m = self.map
@@ -642,17 +644,20 @@ class Tracker:
             self._pred_vel = np.asarray(v2)
         else:
             pose_pred = self._predict_pose()
-        ids, live, (xyz, desc) = self._gather_local_points()
+        ids, live, (xyz, desc), (nrm, dmin, dmax) = \
+            self._gather_local_points()
 
         radius = 15.0 if (self.velocity is not None or vi_mode) else 40.0
         uv_m, pt_feat, matched, feat_pt = self.proj_match(
             jnp.asarray(pose_pred), jnp.asarray(xyz), jnp.asarray(desc),
             jnp.asarray(live), feats.uv_und,
             M.pack_bits_u32(feats.desc), feats.octave, feats.valid,
-            jnp.float32(radius))
+            jnp.float32(radius), pt_normal=jnp.asarray(nrm),
+            pt_min_dist=jnp.asarray(dmin), pt_max_dist=jnp.asarray(dmax))
         n_matched = int(matched.sum())
         if n_matched < self.cfg.tracking.min_matches_track:
-            # widen the search once (reference doubles the window)
+            # widen the search once (reference doubles the window),
+            # dropping the scale/angle gates too
             uv_m, pt_feat, matched, feat_pt = self.proj_match(
                 jnp.asarray(pose_pred), jnp.asarray(xyz), jnp.asarray(desc),
                 jnp.asarray(live), feats.uv_und,

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -114,9 +115,14 @@ def undistort_radtan(cam: Camera, xd: jnp.ndarray, iters: int = 8) -> jnp.ndarra
 
 
 def undistort_pixels(cam: Camera, uv: jnp.ndarray) -> jnp.ndarray:
-    """Distorted pixels -> undistorted pixels (pinhole rad-tan)."""
+    """Distorted pixels -> undistorted pixels (pinhole rad-tan).
+
+    A zero-distortion pinhole short-circuits to identity (no 8-iteration
+    Newton scan for already-rectified inputs)."""
     if cam.model == "kb8":
         return kb8_undistort_pixels(cam, uv)
+    if not np.any(np.asarray(cam.dist)):
+        return uv
     xn_d = jnp.stack([(uv[..., 0] - cam.cx) / cam.fx,
                       (uv[..., 1] - cam.cy) / cam.fy], axis=-1)
     xn = undistort_radtan(cam, xn_d)

@@ -120,37 +120,57 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256,
         return jnp.minimum(d, jnp.pi - d) < angle_tol
 
     idx = jnp.arange(C)
-    row = idx // Wc
-    col = idx % Wc
     labels = jnp.where(atom, idx, C)       # C = dead label
 
     neigh_offsets = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
                      (0, 1), (1, -1), (1, 0), (1, 1)]
 
-    def neighbor_label(labels, dr, dc):
-        r2 = row + dr
-        c2 = col + dc
-        ok = (r2 >= 0) & (r2 < Hc) & (c2 >= 0) & (c2 < Wc)
-        j = jnp.clip(r2 * Wc + c2, 0, C - 1)
-        link = ok & atom & atom[j] & ang_close(theta, theta[j])
-        # mutual collinearity: each centroid near the other's line
-        ddx = cx[j] - cx
-        ddy = cy[j] - cy
-        perp_ij = jnp.abs(-dy * ddx + dx * ddy)          # dist to i's line
-        perp_ji = jnp.abs(-dy[j] * ddx + dx[j] * ddy)
-        link = link & (perp_ij < dist_tol) & (perp_ji < dist_tol)
-        return jnp.where(link, labels[j], C)
+    # the 8-neighbour link predicates are STATIC per frame — precompute
+    # them once as 2D rolls (regular shifts vectorize on the VPU; the
+    # original per-iteration flat gathers cost ~9 ms/sweep on a v5e,
+    # dominating the whole front end)
+    def to2d(a):
+        return a.reshape(Hc, Wc)
 
-    def propagate(_, labels):
-        best = labels
-        for dr, dc in neigh_offsets:
-            best = jnp.minimum(best, neighbor_label(labels, dr, dc))
-        # pointer jumping
-        best = jnp.minimum(best, jnp.where(best < C, labels[jnp.clip(best, 0, C - 1)], C))
+    atom2 = to2d(atom)
+    th2 = to2d(theta)
+    cx2 = to2d(cx)
+    cy2 = to2d(cy)
+    dx2 = to2d(dx)
+    dy2 = to2d(dy)
+    rr = jnp.arange(Hc)[:, None]
+    cc = jnp.arange(Wc)[None, :]
+    links = []
+    for dr, dc in neigh_offsets:
+        ok = (rr + dr >= 0) & (rr + dr < Hc) & (cc + dc >= 0) \
+            & (cc + dc < Wc)
+
+        def sh(a):
+            return jnp.roll(a, (-dr, -dc), (0, 1))
+
+        dth = jnp.abs(th2 - sh(th2)) % jnp.pi
+        link = ok & atom2 & sh(atom2) \
+            & (jnp.minimum(dth, jnp.pi - dth) < angle_tol)
+        ddx = sh(cx2) - cx2
+        ddy = sh(cy2) - cy2
+        perp_ij = jnp.abs(-dy2 * ddx + dx2 * ddy)
+        perp_ji = jnp.abs(-sh(dy2) * ddx + sh(dx2) * ddy)
+        links.append(link & (perp_ij < dist_tol) & (perp_ji < dist_tol))
+
+    def propagate(labels):
+        lab2 = to2d(labels)
+        best = lab2
+        for (dr, dc), link in zip(neigh_offsets, links):
+            cand = jnp.where(link, jnp.roll(lab2, (-dr, -dc), (0, 1)), C)
+            best = jnp.minimum(best, cand)
+        best = best.reshape(C)
+        # pointer jumping (the one gather per sweep)
+        best = jnp.minimum(best, jnp.where(
+            best < C, labels[jnp.clip(best, 0, C - 1)], C))
         return best
 
     def scan_body(carry, _):
-        return propagate(0, carry), None
+        return propagate(carry), None
 
     labels, _ = jax.lax.scan(scan_body, labels, None, length=jump_iters)
 
@@ -384,7 +404,7 @@ def detect_lines_ed(img: jnp.ndarray, max_lines: int = 256,
 
 N_BANDS = 9
 BAND_W = 3          # rows per band (perpendicular direction)
-N_ALONG = 24        # samples along the line
+N_ALONG = 16        # samples along the line
 
 
 @functools.lru_cache()
@@ -426,20 +446,14 @@ def lbd_descriptors(gx: jnp.ndarray, gy: jnp.ndarray, ep: jnp.ndarray,
     sy = (mym[:, None, None]
           + uy[:, None, None] * (t_along[None, None, :] * length[:, None, None])
           + ny_[:, None, None] * t_perp[None, :, None])
-    xi = jnp.clip(sx, 0, W - 2)
-    yi = jnp.clip(sy, 0, H - 2)
-    x0 = jnp.floor(xi).astype(jnp.int32)
-    y0 = jnp.floor(yi).astype(jnp.int32)
-    fx = xi - x0
-    fy = yi - y0
+    # nearest-neighbour sampling: band STATISTICS (mean/std pooled over
+    # BAND_W x N_ALONG samples) are insensitive to sub-pixel placement,
+    # and bilinear costs 4x the gathers (the front end's hot spot)
+    x0 = jnp.clip(jnp.round(sx), 0, W - 1).astype(jnp.int32)
+    y0 = jnp.clip(jnp.round(sy), 0, H - 1).astype(jnp.int32)
 
     def samp(img):
-        v00 = img[y0, x0]
-        v01 = img[y0, x0 + 1]
-        v10 = img[y0 + 1, x0]
-        v11 = img[y0 + 1, x0 + 1]
-        return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
-                + v10 * (1 - fx) * fy + v11 * fx * fy)
+        return img[y0, x0]
 
     gxs = samp(gx)
     gys = samp(gy)
@@ -580,8 +594,8 @@ def merge_collinear(ep: jnp.ndarray, valid: jnp.ndarray,
 
 
 def refine_segments(gx: jnp.ndarray, gy: jnp.ndarray, ep: jnp.ndarray,
-                    valid: jnp.ndarray, n_samples: int = 48,
-                    search_r: float = 2.5, n_search: int = 11):
+                    valid: jnp.ndarray, n_samples: int = 32,
+                    search_r: float = 2.5, n_search: int = 7):
     """Sub-pixel line refinement: snap sample points along each segment
     to the gradient-magnitude centroid along the segment normal, then
     total-least-squares refit the line through the snapped points.
@@ -620,9 +634,13 @@ def refine_segments(gx: jnp.ndarray, gy: jnp.ndarray, ep: jnp.ndarray,
 
     m = bilinear(mag, pts)                                # [L,S,O]
     # weight by alignment: only edges whose gradient is parallel to the
-    # segment normal belong to this line
-    gxs = bilinear(gx, pts)
-    gys = bilinear(gy, pts)
+    # segment normal belong to this line (nearest-neighbour sampling —
+    # a 0/1 gate needs no sub-pixel interpolation, and each bilinear
+    # read costs 4 TPU gathers)
+    xr = jnp.clip(jnp.round(pts[..., 0]), 0, W - 1).astype(jnp.int32)
+    yr = jnp.clip(jnp.round(pts[..., 1]), 0, H - 1).astype(jnp.int32)
+    gxs = gx[yr, xr]
+    gys = gy[yr, xr]
     gdot = jnp.abs(gxs * nrm[:, None, None, 0] + gys * nrm[:, None, None, 1])
     gnorm = jnp.sqrt(gxs * gxs + gys * gys)
     align = gdot / jnp.maximum(gnorm, 1e-6)
