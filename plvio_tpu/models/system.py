@@ -335,6 +335,16 @@ class System:
         self.atlas.active = atlas.active
         self.atlas.next_map_id = atlas.next_map_id
         self.kfdb.rebuild()
+        # rebuild preintegrations from the saved raw IMU windows at the
+        # stored per-KF biases — a resumed VI session must have its
+        # inertial edges immediately, not after the next re-integration
+        # (reference Preintegrated serialization, include/ImuTypes.h:184)
+        if self.cfg.sensor in (3, 4):
+            for m in self.atlas.maps:
+                for kf, (g_, a_, d_) in m.kf_imu_raw.items():
+                    if len(d_):
+                        m.kf_preint[kf] = self.mapper._reintegrate(
+                            g_, a_, d_, m.kf_bias_g[kf], m.kf_bias_a[kf])
         t = self.tracker
         t.state = TrackState.LOST
         t.init_feats = None
@@ -365,6 +375,21 @@ class System:
         """TUM-format full-frame trajectory (reference
         System::SaveTrajectoryEuRoC src/System.cc:785)."""
         TIO.write_tum(path, self.trajectory())
+
+    def export_map(self, path_prefix: str, fmt: str = "all") -> None:
+        """Offline viewer export (reference Viewer/MapDrawer render the
+        live map in Pangolin, src/Viewer.cc; TPU-side observability is
+        file-based: .ply point/line cloud for any 3D viewer, .html
+        self-contained three.js scene, .json raw snapshot)."""
+        from . import viewer as VIS
+        m = self.atlas.current
+        traj = self.trajectory()
+        if fmt in ("all", "ply"):
+            VIS.export_ply(m, path_prefix + ".ply", traj)
+        if fmt in ("all", "html"):
+            VIS.export_html(m, path_prefix + ".html", traj)
+        if fmt in ("all", "json"):
+            VIS.export_json(m, path_prefix + ".json", traj)
 
     def save_relocalized_trajectory(self, path: str) -> None:
         """KF trajectory in the prior-map frame (reference

@@ -189,6 +189,22 @@ class Tracker:
         self._frame_lines = line_feats
         self._frame_depth = depth
         self._frame_line_depth = line_depth
+        # timestamp-jump guards (reference src/Tracking.cc:2226-2252):
+        # an out-of-order frame is dropped; a large forward gap cannot
+        # be bridged by the motion model or preintegration, so the
+        # session continues in a FRESH Atlas map (merged back later by
+        # loop closing — the elastic-recovery path)
+        if self.last_frame_time is not None \
+                and self.state in (TrackState.OK, TrackState.RECENTLY_LOST):
+            dt_frame = timestamp - self.last_frame_time
+            if dt_frame < 0:
+                return None
+            if dt_frame > 3.0:
+                self.state = TrackState.LOST
+                self._handle_lost()
+                self.last_frame_time = timestamp
+                return None
+        self.last_frame_time = timestamp
         if self.use_imu and imu is not None:
             self.grab_imu(*imu)
             self._frame_imu = imu
@@ -572,6 +588,45 @@ class Tracker:
         t = R_v @ t_l + t_v
         return np.concatenate([R, t[:, None]], 1)
 
+    def _track_reference_kf(self, feats: Features, pose_pred):
+        """Descriptor-only matching of the frame against the reference
+        keyframe's bound map points (reference
+        TrackReferenceKeyFrameWithLines src/Tracking.cc:3503: BoW-bucket
+        matching vs the ref KF + pose opt from the last pose; the dense
+        Hamming matmul subsumes the buckets).  Returns the same tuple
+        layout as proj_match plus the gathered slots, or None."""
+        m = self.map
+        kf = self.ref_kf
+        if kf < 0 or not m.kf_valid[kf]:
+            return None
+        bound = np.nonzero(m.kf_match_pt[kf] >= 0)[0]
+        if len(bound) < 15:
+            return None
+        cap = self.local_cap
+        n = min(len(bound), cap)
+        bound = bound[:n]
+        pts = m.kf_match_pt[kf, bound]
+        ids = np.full(cap, -1, np.int64)
+        ids[:n] = pts
+        safe = np.clip(ids, 0, m.max_pts - 1)
+        live = (ids >= 0) & m.pt_valid[safe]
+        xyz = m.pt_xyz[safe]
+        desc = np.zeros((cap, 8), np.uint32)
+        desc[:n] = m.kf_feat_desc[kf, bound]
+        dist = M.hamming_matrix(
+            M.unpack_u32_to_pm1(jnp.asarray(desc)), feats.desc)
+        idx, ok = M.match_nn_ratio(
+            dist, jnp.asarray(live), feats.valid, None,
+            max_dist=60.0, ratio=0.75, mutual=True)
+        uv_m = feats.uv_und[idx]
+        ok_np = np.asarray(ok)
+        idx_np = np.asarray(idx)
+        feat_pt = np.full(self.n_feat, -1, np.int32)
+        slots = np.nonzero(ok_np)[0]
+        feat_pt[idx_np[slots]] = slots
+        return (uv_m, idx.astype(jnp.int32), ok, jnp.asarray(feat_pt),
+                ids, live, jnp.asarray(xyz))
+
     def _match_and_record_lines(self, pose) -> int:
         """Match local map lines against this frame's detected segments
         at a given (already-optimized) pose and record the observation
@@ -665,7 +720,18 @@ class Tracker:
                 jnp.float32(radius * 3))
             n_matched = int(matched.sum())
             if n_matched < self.cfg.tracking.min_matches_track:
-                return False
+                # last resort: descriptor-only matching against the
+                # reference KF's bound features, no projection window
+                # (reference TrackReferenceKeyFrameWithLines,
+                # src/Tracking.cc:3503 — BoW-bucketed there; the dense
+                # Hamming matmul covers all buckets at once here)
+                ok_ref = self._track_reference_kf(feats, pose_pred)
+                if not ok_ref:
+                    return False
+                uv_m, pt_feat, matched, feat_pt, ids, live, xyz = ok_ref
+                n_matched = int(matched.sum())
+                if n_matched < self.cfg.tracking.min_matches_track:
+                    return False
 
         inv_sigma2 = 1.0 / (1.2 ** (2.0 * np.asarray(
             feats.octave, np.float32)))
@@ -907,15 +973,19 @@ class Tracker:
                 and self.ref_kf >= 0 \
                 and self.last_frame_time - m.kf_timestamp[self.ref_kf] >= 0.5:
             return True
-        # (the reference couples c2 with a mapper-idle check c1b; our
-        # mapper runs synchronously per KF, so c1b is always true and the
-        # ratio alone sets the cadence — 0.75 keeps KF density close to
-        # the reference's post-culling density)
+        # (the reference couples c2 with a mapper-idle check c1b; in its
+        # threaded system a busy mapper throttles insertion to every few
+        # frames.  Our mapper runs synchronously, so the throttle is
+        # explicit: while tracking is healthy, at most one KF per 3
+        # frames — only an inlier collapse overrides it)
         if self.use_imu and m.imu_initialized:
             ratio = 0.65
         else:
             ratio = 0.75 if m.n_kf > 2 else 0.6
         weak = self.last_n_inliers < ratio * max(ref_matches, 1)
+        healthy = self.last_n_inliers > 60
+        if weak and healthy and gap < 3:
+            return False
         return weak and self.last_n_inliers > 15
 
     def _create_keyframe(self, feats: Features, timestamp: float) -> None:

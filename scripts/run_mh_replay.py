@@ -75,7 +75,7 @@ def main(duration: float = 60.0):
         if m.imu_initialized and init_frame is None:
             init_frame = i
             print(f"IMU initialized at frame {i} (t={t:.1f}s)")
-        if i % 100 == 0:
+        if i % 25 == 0:
             el = time.time() - t_start
             print(f"frame {i:4d}/{n_frames} state={slam.state.name:14s} "
                   f"kf={m.n_kf} pts={m.n_pt} lns={int(m.ln_valid.sum())} "

@@ -1,5 +1,6 @@
 """Map checkpoint/resume roundtrip."""
 import numpy as np
+import pytest
 
 from plvio_tpu.models.mapstore import Atlas, MapStore
 from plvio_tpu.models import serialization as S
@@ -33,3 +34,40 @@ def test_atlas_roundtrip(tmp_path, rng):
     assert m2.imu_initialized == m.imu_initialized
     assert m2.n_kf == m.n_kf and m2.n_pt == m.n_pt
     np.testing.assert_array_equal(m2.kf_imu_raw[1][0], m.kf_imu_raw[1][0])
+
+
+def test_load_atlas_rebuilds_preintegrations(tmp_path, rng):
+    """A resumed VI session must have inertial edges immediately: the
+    saved raw IMU windows are reintegrated at the stored per-KF biases
+    on load (reference Preintegrated serialization,
+    include/ImuTypes.h:184-208)."""
+    from plvio_tpu.config import SystemConfig, CameraConfig, ImuConfig, Sensor
+    from plvio_tpu.models.system import System
+
+    IDENT = tuple(np.eye(4).flatten().tolist())
+    cfg = SystemConfig(sensor=Sensor.IMU_MONOCULAR,
+                       camera=CameraConfig(dist=(0., 0., 0., 0.)),
+                       imu=ImuConfig(Tbc=IDENT))
+    src = System(cfg)
+    m = src.atlas.current
+    for _ in range(3):
+        m.alloc_kf()
+    n = 12
+    m.kf_imu_raw[1] = (rng.normal(0, 0.01, (n, 3)).astype(np.float32),
+                       (rng.normal(0, 0.01, (n, 3))
+                        + [0, 0, 9.81]).astype(np.float32),
+                       np.full(n, 0.005, np.float32))
+    m.kf_bias_g[1] = [0.01, -0.02, 0.005]
+    m.kf_bias_a[1] = [0.05, 0.0, -0.03]
+    m.imu_initialized = True
+    src.save_atlas(str(tmp_path / "atlas"))
+
+    dst = System(cfg)
+    dst.load_atlas(str(tmp_path / "atlas"))
+    m2 = dst.atlas.current
+    assert 1 in m2.kf_preint, "preintegration not rebuilt on load"
+    p = m2.kf_preint[1]
+    assert float(p.dT) == pytest.approx(n * 0.005, rel=1e-5)
+    # reintegrated at the stored bias
+    np.testing.assert_allclose(np.asarray(p.bias_gyro),
+                               m.kf_bias_g[1], atol=1e-6)
