@@ -399,9 +399,9 @@ def _eval_mh(t: np.ndarray) -> SyntheticTrajectory:
             A[0] * np.sin(w[0] * tt + ph[0]) * rr,
             A[1] * np.sin(w[1] * tt + ph[1]) * rr,
             -0.8 + A[2] * np.sin(w[2] * tt + ph[2]) * rr], -1)
-        p[:, 0] += 0.25 * ww * np.sin(2 * np.pi * 1.9 * tt)
-        p[:, 1] += 0.20 * ww * np.sin(2 * np.pi * 2.3 * tt + 0.5)
-        p[:, 2] += 0.15 * ww * np.sin(2 * np.pi * 1.6 * tt + 1.1)
+        p[:, 0] += 0.10 * ww * np.sin(2 * np.pi * 1.9 * tt)
+        p[:, 1] += 0.08 * ww * np.sin(2 * np.pi * 2.3 * tt + 0.5)
+        p[:, 2] += 0.06 * ww * np.sin(2 * np.pi * 1.6 * tt + 1.1)
         return p
 
     dt = 1e-4

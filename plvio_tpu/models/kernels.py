@@ -1132,3 +1132,84 @@ def make_local_ba_lines_only(K: PinholeK, n_kf: int, n_ln: int,
         return states["pose"], states["ln"], mask
 
     return run
+
+
+def make_projection_matcher_kb8(K8, n_feat: int, cap_pts: int):
+    """KB8-native projection matcher: map points project through the
+    equidistant model onto RAW (distorted) pixels — fisheye frames match
+    without a pinhole proxy (reference KannalaBrandt8::project used by
+    SearchByProjection via the GeometricCamera interface,
+    src/CameraModels/KannalaBrandt8.cpp).
+
+    Same contract as make_projection_matcher but feat_uv are RAW pixels.
+    """
+    proj = jax.vmap(lambda pc: RES.kb8_project_single(K8, pc))
+
+    @jax.jit
+    def run(pose, pt_xyz, pt_desc, pt_valid, feat_uv, feat_desc,
+            feat_octave, feat_valid, radius, max_dist=80.0,
+            pt_normal=None, pt_min_dist=None, pt_max_dist=None):
+        R, t = pose[:, :3], pose[:, 3]
+        pc = (R @ pt_xyz.T).T + t
+        z = pc[:, 2]
+        uv_proj = proj(pc)
+        in_img = (z > 0.05) \
+            & (uv_proj[:, 0] >= 0) & (uv_proj[:, 0] < 2 * K8.cx) \
+            & (uv_proj[:, 1] >= 0) & (uv_proj[:, 1] < 2 * K8.cy)
+        proj_ok = pt_valid & in_img
+        if pt_min_dist is not None:
+            C1 = -R.T @ t
+            view = pt_xyz - C1
+            d_cam = jnp.linalg.norm(view, axis=-1)
+            has_range = pt_max_dist > 1e-6
+            range_ok = (~has_range) | ((d_cam > 0.8 * pt_min_dist)
+                                       & (d_cam < 1.2 * pt_max_dist))
+            proj_ok = proj_ok & range_ok
+        d_pt = M.unpack_u32_to_pm1(pt_desc)
+        d_ft = M.unpack_u32_to_pm1(feat_desc)
+        dist = M.hamming_matrix(d_pt, d_ft)
+        scale = 1.2 ** feat_octave.astype(jnp.float32)
+        d2 = jnp.sum((uv_proj[:, None, :] - feat_uv[None, :, :]) ** 2, -1)
+        gate = d2 <= (radius * scale[None, :]) ** 2
+        idx, ok = M.match_nn_ratio(dist, proj_ok, feat_valid, gate,
+                                   max_dist=max_dist, ratio=0.9, mutual=True)
+        uv_m = feat_uv[idx]
+        feat_pt = jnp.full((n_feat,), -1, jnp.int32)
+        safe_idx = jnp.where(ok, idx, 0)
+        feat_pt = feat_pt.at[safe_idx].set(
+            jnp.where(ok, jnp.arange(cap_pts, dtype=jnp.int32), -1),
+            mode="drop")
+        return uv_m, idx.astype(jnp.int32), ok, feat_pt
+
+    return run
+
+
+def make_pose_optimizer_kb8(K8, cap: int, rounds: int = 3, iters: int = 6):
+    """Pose-only IRLS with NATIVE KB8 reprojection residuals against raw
+    pixels (reference PoseOptimization with KannalaBrandt8 camera —
+    the fisheye Jacobian comes from jacfwd through the theta-poly).
+
+    (pose0 [3,4], uv [cap,2] RAW pixels, X [cap,3], valid, inv_sigma2)
+    -> (pose, inlier, n_inliers)
+    """
+    res_fn = RES.make_point_reproj_kb8_fixed(K8)
+
+    @jax.jit
+    def run(pose0, uv, X, valid, inv_sigma2):
+        states = {"pose": pose0[None]}
+        mask = valid
+        zero = jnp.zeros(cap, jnp.int32)
+        for _ in range(rounds):
+            prob = E.Problem()
+            prob.add_dense("pose", 1, 6, RES.retract_pose_cw)
+            prob.add_term(E.Term(
+                name="reproj", res_fn=res_fn, rdim=2,
+                dense_refs=[("pose", zero)],
+                const={"uv": uv, "X": X},
+                mask=mask, info=inv_sigma2,
+                robust_delta=float(np.sqrt(CHI2_MONO))))
+            states, _, chi2s = E.optimize(prob, states, iters=iters)
+            mask = valid & (chi2s["reproj"] < CHI2_MONO)
+        return states["pose"][0], mask, jnp.sum(mask)
+
+    return run

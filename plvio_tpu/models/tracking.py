@@ -69,6 +69,22 @@ class Tracker:
 
         self.pose_opt = KN.make_pose_optimizer(self.K, local_pts_cap)
         self.proj_match = KN.make_projection_matcher(self.K, n_feat, local_pts_cap)
+        # KB8 fisheye: NATIVE equidistant projection in the hot path —
+        # the local-map matcher and pose optimizer run against RAW
+        # pixels (reference projects through the GeometricCamera
+        # virtual interface, src/CameraModels/KannalaBrandt8.cpp);
+        # matching/optimizing a fisheye frame through a pinhole proxy
+        # discards the lens model at the image periphery
+        self.kb8 = None
+        if cam.model == "kb8":
+            d = tuple(cam.dist) + (0.0,) * 4
+            from ..solver.residuals import KB8K
+            self.kb8 = KB8K(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                            k1=d[0], k2=d[1], k3=d[2], k4=d[3])
+            self.proj_match = KN.make_projection_matcher_kb8(
+                self.kb8, n_feat, local_pts_cap)
+            self.pose_opt = KN.make_pose_optimizer_kb8(
+                self.kb8, local_pts_cap)
 
         # line machinery (SLAM modes with lines, reference TrackWithLines)
         self.use_lines = cfg.use_lines
@@ -618,7 +634,7 @@ class Tracker:
         idx, ok = M.match_nn_ratio(
             dist, jnp.asarray(live), feats.valid, None,
             max_dist=60.0, ratio=0.75, mutual=True)
-        uv_m = feats.uv_und[idx]
+        uv_m = (feats.uv if self.kb8 is not None else feats.uv_und)[idx]
         ok_np = np.asarray(ok)
         idx_np = np.asarray(idx)
         feat_pt = np.full(self.n_feat, -1, np.int32)
@@ -703,9 +719,11 @@ class Tracker:
             self._gather_local_points()
 
         radius = 15.0 if (self.velocity is not None or vi_mode) else 40.0
+        # KB8-native mode matches/optimizes against RAW pixels
+        obs_uv = feats.uv if self.kb8 is not None else feats.uv_und
         uv_m, pt_feat, matched, feat_pt = self.proj_match(
             jnp.asarray(pose_pred), jnp.asarray(xyz), jnp.asarray(desc),
-            jnp.asarray(live), feats.uv_und,
+            jnp.asarray(live), obs_uv,
             M.pack_bits_u32(feats.desc), feats.octave, feats.valid,
             jnp.float32(radius), pt_normal=jnp.asarray(nrm),
             pt_min_dist=jnp.asarray(dmin), pt_max_dist=jnp.asarray(dmax))
@@ -715,7 +733,7 @@ class Tracker:
             # dropping the scale/angle gates too
             uv_m, pt_feat, matched, feat_pt = self.proj_match(
                 jnp.asarray(pose_pred), jnp.asarray(xyz), jnp.asarray(desc),
-                jnp.asarray(live), feats.uv_und,
+                jnp.asarray(live), obs_uv,
                 M.pack_bits_u32(feats.desc), feats.octave, feats.valid,
                 jnp.float32(radius * 3))
             n_matched = int(matched.sum())

@@ -454,3 +454,54 @@ def make_prior15():
             (ba + dba) - const["ba0"],
         ])
     return res
+
+
+# --------------------------------------------------------------------------
+# Kannala-Brandt 8 (fisheye) — NATIVE projection in the hot path
+# (reference: src/CameraModels/KannalaBrandt8.cpp project/projectJac; the
+# reference's BA edges project through the GeometricCamera virtual call,
+# so fisheye sequences optimize against RAW pixels, not a pinhole proxy)
+# --------------------------------------------------------------------------
+
+class KB8K(NamedTuple):
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    k1: float
+    k2: float
+    k3: float
+    k4: float
+
+
+def kb8_project_single(K: "KB8K", pc: jnp.ndarray) -> jnp.ndarray:
+    """Camera-frame point [3] -> raw pixel [2] (equidistant theta-poly)."""
+    x, y, z = pc[0], pc[1], pc[2]
+    r = jnp.sqrt(jnp.maximum(x * x + y * y, 1e-18))
+    theta = jnp.arctan2(r, jnp.maximum(z, 1e-6))
+    t2 = theta * theta
+    theta_d = theta * (1.0 + K.k1 * t2 + K.k2 * t2 ** 2
+                       + K.k3 * t2 ** 3 + K.k4 * t2 ** 4)
+    s = theta_d / r
+    return jnp.stack([K.fx * x * s + K.cx, K.fy * y * s + K.cy])
+
+
+def make_point_reproj_kb8_fixed(K: "KB8K"):
+    """Pose-only KB8 reprojection edge against RAW pixels.
+    const = {'uv': [2], 'X': [3]}."""
+    def res(blocks, deltas, const):
+        (P,) = blocks
+        (dp,) = deltas
+        R, t = retract_pose_cw_single(P, dp)
+        return kb8_project_single(K, R @ const["X"] + t) - const["uv"]
+    return res
+
+
+def make_point_reproj_kb8(K: "KB8K"):
+    """Full BA KB8 edge: (pose_cw, point).  const = {'uv': [2]}."""
+    def res(blocks, deltas, const):
+        P, X = blocks
+        dp, dX = deltas
+        R, t = retract_pose_cw_single(P, dp)
+        return kb8_project_single(K, R @ (X + dX) + t) - const["uv"]
+    return res
