@@ -354,6 +354,16 @@ class Tracker:
         m.pt_visible[pts] = 2
         m.update_covisibility(kf1)
 
+        # line triangulation at initialization (reference
+        # ReconstructwithLine, include/TwoViewReconstruction.h:55 +
+        # Tracking::LineTriangulate src/Tracking.cc:6589): match the two
+        # init frames' segments and intersect interpretation planes so
+        # the initial map starts with lines, not just points
+        lf0 = getattr(self, "init_line_feats", None)
+        lf1 = self._frame_lines
+        if self.use_lines and lf0 is not None and lf1 is not None:
+            self._triangulate_init_lines(kf0, kf1, lf0, lf1)
+
         if self.use_imu:
             self.frame_vel = np.zeros(3, np.float32)
             self.frame_bg = np.zeros(3, np.float32)
@@ -372,6 +382,49 @@ class Tracker:
         self.last_kf_frame_idx = self.frame_idx
         self.new_kf_queue += [kf0, kf1]
         self.frames.append(self._make_record(timestamp))
+
+    def _triangulate_init_lines(self, kf0: int, kf1: int, lf0, lf1) -> None:
+        """Two-view line bootstrap between the init keyframes (reference
+        Pinhole::ReconstructWithTwoViewswithLine -> LineTriangulate,
+        src/Tracking.cc:6589)."""
+        m = self.map
+        if not hasattr(self, "_init_line_pair"):
+            self._init_line_pair = KN.make_line_pair_matcher(self.n_line_feat)
+            self._init_line_tri = KN.make_line_triangulator(
+                self.K, self.n_line_feat)
+        ang0 = np.arctan2(np.asarray(lf0.ep)[:, 3] - np.asarray(lf0.ep)[:, 1],
+                          np.asarray(lf0.ep)[:, 2] - np.asarray(lf0.ep)[:, 0]) % np.pi
+        ang1 = np.arctan2(np.asarray(lf1.ep)[:, 3] - np.asarray(lf1.ep)[:, 1],
+                          np.asarray(lf1.ep)[:, 2] - np.asarray(lf1.ep)[:, 0]) % np.pi
+        d0 = np.asarray(M.pack_bits_u32(lf0.desc))
+        d1 = np.asarray(M.pack_bits_u32(lf1.desc))
+        idx1, ok = self._init_line_pair(
+            lf0.ep, jnp.asarray(d0), jnp.asarray(ang0, jnp.float32),
+            lf0.valid, lf1.ep, jnp.asarray(d1),
+            jnp.asarray(ang1, jnp.float32), lf1.valid)
+        if int(np.asarray(ok).sum()) == 0:
+            return
+        ep1 = np.asarray(lf1.ep)[np.asarray(idx1)]
+        Xs, Xe, good = self._init_line_tri(
+            jnp.asarray(m.kf_pose_cw[kf0]), jnp.asarray(m.kf_pose_cw[kf1]),
+            lf0.ep, jnp.asarray(ep1), ok)
+        good_np = np.asarray(good)
+        f0_ids = np.nonzero(good_np)[0]
+        if len(f0_ids) == 0:
+            return
+        f1_ids = np.asarray(idx1)[f0_ids]
+        lns = m.alloc_lines(len(f0_ids))
+        n = len(lns)
+        f0_ids, f1_ids = f0_ids[:n], f1_ids[:n]
+        m.ln_ep[lns] = np.concatenate(
+            [np.asarray(Xs)[f0_ids], np.asarray(Xe)[f0_ids]], -1)
+        m.ln_desc[lns] = d0[f0_ids]
+        m.ln_first_kf[lns] = kf0
+        m.ln_n_obs[lns] = 2
+        m.ln_found[lns] = 2
+        m.ln_visible[lns] = 2
+        m.kf_match_ln[kf0, f0_ids] = lns
+        m.kf_match_ln[kf1, f1_ids] = lns
 
     def _initialize_with_depth(self, feats: Features, timestamp: float) -> None:
         """Stereo/RGB-D bootstrap: one keyframe, map points straight from
