@@ -149,6 +149,117 @@ def _sequence_fps(fn, frames_dev, pose0, extra, n_frames, reps=16):
     return fps, np.asarray(n_inls), flops
 
 
+def bench_mapping(reps: int = 8, n_kf: int = 16, n_pt: int = 4096,
+                  n_obs: int = 8192, n_feat: int = 1024,
+                  n_ln: int = 512, n_lobs: int = 1024):
+    """Time the process_keyframe-equivalent device step at production
+    capacities: epipolar matching of the new KF against a neighbor +
+    DLT triangulation + the point+line windowed local BA (the dominant
+    mapping-thread cost; reference CreateNewMapPoints + SearchInNeighbors
+    + LocalBundleAdjustmentwithLine inside its 50 ms budget,
+    src/LocalMapping.cc:286-454).  Returns (ms_per_step, flops)."""
+    from plvio_tpu.models import kernels as KN
+    from plvio_tpu.solver.residuals import PinholeK
+    from plvio_tpu.utils import lie
+
+    K = PinholeK(fx=458.654, fy=457.296, cx=367.215, cy=248.375)
+    rng = np.random.default_rng(1)
+
+    # synthetic consistent window geometry
+    X = rng.uniform([-6, -4, 3], [6, 4, 12], (n_pt, 3)).astype(np.float32)
+    kf_poses = []
+    for c in range(n_kf):
+        Rm = np.asarray(lie.so3_exp(jnp.asarray(
+            rng.normal(0, 0.02, 3), jnp.float32)))
+        t = np.array([0.25 * c, 0.02 * c, 0.0], np.float32)
+        kf_poses.append(np.concatenate([Rm, t[:, None]], 1))
+    kf_poses = np.stack(kf_poses).astype(np.float32)
+    obs_kf = rng.integers(0, n_kf, n_obs).astype(np.int32)
+    obs_pt = rng.integers(0, n_pt, n_obs).astype(np.int32)
+    pc = np.einsum("oij,oj->oi", kf_poses[obs_kf, :, :3], X[obs_pt]) \
+        + kf_poses[obs_kf, :, 3]
+    z = np.maximum(pc[:, 2], 1e-3)
+    obs_uv = np.stack([K.fx * pc[:, 0] / z + K.cx,
+                       K.fy * pc[:, 1] / z + K.cy], -1).astype(np.float32)
+    obs_uv += rng.normal(0, 0.5, obs_uv.shape).astype(np.float32)
+
+    # epipolar-pair features for the triangulation stage
+    fa = rng.integers(0, n_pt, n_feat)
+    pca = X[fa] @ kf_poses[0, :, :3].T + kf_poses[0, :, 3]
+    pcb = X[fa] @ kf_poses[1, :, :3].T + kf_poses[1, :, 3]
+    uv_a = np.stack([K.fx * pca[:, 0] / pca[:, 2] + K.cx,
+                     K.fy * pca[:, 1] / pca[:, 2] + K.cy], -1)
+    uv_b = np.stack([K.fx * pcb[:, 0] / pcb[:, 2] + K.cx,
+                     K.fy * pcb[:, 1] / pcb[:, 2] + K.cy], -1)
+    desc = rng.integers(0, 2 ** 32, (n_feat, 8), dtype=np.uint32)
+    ang = rng.uniform(0, 2 * np.pi, n_feat).astype(np.float32)
+
+    # line landmarks for the PL window
+    ln_ep6 = np.concatenate(
+        [X[:n_ln], X[:n_ln] + rng.normal(0, 0.5, (n_ln, 3))],
+        -1).astype(np.float32)
+    lobs_kf = rng.integers(0, n_kf, n_lobs).astype(np.int32)
+    lobs_ln = rng.integers(0, n_ln, n_lobs).astype(np.int32)
+    leq = rng.normal(0, 1, (n_lobs, 3)).astype(np.float32)
+    leq[:, :2] /= np.maximum(
+        np.linalg.norm(leq[:, :2], axis=1, keepdims=True), 1e-6)
+
+    epi = KN.make_epipolar_matcher(K, n_feat)
+    tri = KN.make_triangulator(K, n_feat)
+    lba = KN.make_local_ba_pl(K, n_kf, n_pt, n_obs, n_ln, n_lobs)
+
+    A = dict(
+        pose_a=jnp.asarray(kf_poses[0]), pose_b=jnp.asarray(kf_poses[1]),
+        uv_a=jnp.asarray(uv_a, jnp.float32),
+        uv_b=jnp.asarray(uv_b, jnp.float32),
+        desc=jnp.asarray(desc), ang=jnp.asarray(ang),
+        ok=jnp.ones(n_feat, bool),
+        kf_poses=jnp.asarray(kf_poses),
+        kf_free=jnp.asarray(np.arange(n_kf) > 0),
+        pt_xyz=jnp.asarray(X), pt_free=jnp.ones(n_pt, bool),
+        obs_kf=jnp.asarray(obs_kf), obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(obs_uv), obs_valid=jnp.ones(n_obs, bool),
+        obs_is2=jnp.ones(n_obs, jnp.float32),
+        ln_ep6=jnp.asarray(ln_ep6), ln_free=jnp.ones(n_ln, bool),
+        lobs_kf=jnp.asarray(lobs_kf), lobs_ln=jnp.asarray(lobs_ln),
+        lobs_eq=jnp.asarray(leq), lobs_valid=jnp.ones(n_lobs, bool),
+        lobs_is2=jnp.ones(n_lobs, jnp.float32))
+
+    @jax.jit
+    def step(eps, A):
+        # triangulation path of the new KF against its best neighbor
+        idx2, ok2 = epi(A["pose_a"], A["pose_b"], A["uv_a"] + eps,
+                        A["desc"], A["ok"], A["uv_b"], A["desc"],
+                        A["ok"], A["ang"], A["ang"])
+        Xw, good = tri(A["pose_a"], A["pose_b"], A["uv_a"] + eps,
+                       A["uv_b"][idx2], ok2)
+        # windowed point+line BA (obs perturbed so no dispatch repeats)
+        poses, pts, lns, inl, inl_l = lba(
+            A["kf_poses"], A["kf_free"], A["pt_xyz"], A["pt_free"],
+            A["obs_kf"], A["obs_pt"], A["obs_uv"] + eps, A["obs_valid"],
+            A["obs_is2"], A["ln_ep6"], A["ln_free"], A["lobs_kf"],
+            A["lobs_ln"], A["lobs_eq"], A["lobs_valid"], A["lobs_is2"])
+        return poses, pts, jnp.sum(good), jnp.sum(inl)
+
+    out = step(jnp.float32(0.0), A)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for rep in range(reps):
+        out = step(jnp.float32(1e-4 * (rep + 1)), A)
+    jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) / reps * 1e3
+
+    flops = -1.0
+    try:
+        cost = step.lower(jnp.float32(0.0), A).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", -1.0))
+    except Exception:
+        pass
+    return ms, flops
+
+
 def main():
     import __graft_entry__ as g
 
@@ -190,6 +301,14 @@ def main():
     # orbits away (production updates the local map per frame)
     mfu = flops_pl * fps_pl / PEAK_FLOPS_F32 if flops_pl > 0 else -1.0
 
+    # mapping step (process_keyframe-equivalent) at production capacities
+    map_ms, map_flops = bench_mapping()
+    print(f"# mapping step: {map_ms:.1f} ms "
+          f"({map_flops/1e9:.2f} GFLOP)", file=sys.stderr)
+    # full frame budget: tracking every frame + one mapping step per 3
+    # frames (the KF cadence the tracker throttles to); reference fits
+    # BOTH in its 50 ms/frame budget via threads
+    frame_ms = 1e3 / fps_pl + map_ms / 3.0
     print(json.dumps({
         "metric": "tracking_pl_fps_per_chip",
         "value": round(fps_pl, 2),
@@ -198,6 +317,10 @@ def main():
         "point_only_fps": round(fps_pt, 2),
         "flops_per_frame": flops_pl,
         "mfu_vs_f32_peak": round(mfu, 5) if mfu > 0 else None,
+        "mapping_step_ms": round(map_ms, 2),
+        "mapping_step_gflop": round(map_flops / 1e9, 3) if map_flops > 0 else None,
+        "frame_budget_ms_incl_mapping": round(frame_ms, 2),
+        "frame_budget_fps_incl_mapping": round(1e3 / frame_ms, 2),
     }))
 
 

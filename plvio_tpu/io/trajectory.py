@@ -93,6 +93,13 @@ def ate_rmse(est: Trajectory, gt: Trajectory, with_scale: bool = True,
     if len(ia) < 3:
         return float("inf")
     p_est, p_gt = est.positions[ia], gt.positions[ib]
+    # a diverged dead-reckoned stretch can leave non-finite estimates;
+    # those frames score as errors via the caller's tracked-frame count,
+    # but they must not blow up the alignment SVD
+    finite = np.isfinite(p_est).all(-1)
+    if finite.sum() < 3:
+        return float("inf")
+    p_est, p_gt = p_est[finite], p_gt[finite]
     s, R, t = umeyama(p_est, p_gt, with_scale)
     aligned = (s * (R @ p_est.T)).T + t
     err = aligned - p_gt

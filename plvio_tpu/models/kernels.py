@@ -544,12 +544,12 @@ def make_local_ba_pl(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
         mask = obs_valid
         mask_l = lobs_valid
         for _ in range(rounds):
-            prob = E.Problem()
+            prob = E.Problem(linear_solver="cg")
             prob.add_dense("pose", n_kf, 6, RES.retract_pose_cw)
             prob.add_landmarks("pt", n_pt, 3, RES.retract_additive)
             prob.add_landmarks("ln", n_ln, 6, RES.retract_additive)
             prob.add_term(E.Term(
-                name="reproj", res_fn=RES.make_point_reproj(K), rdim=2,
+                name="reproj", res_fn=RES.point_reproj_ba_for(K), rdim=2,
                 dense_refs=[("pose", obs_kf)], lm_ref=("pt", obs_pt),
                 const={"uv": obs_uv}, mask=mask, info=obs_is2,
                 robust_delta=float(np.sqrt(CHI2_MONO))))
@@ -559,12 +559,58 @@ def make_local_ba_pl(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                 const={"l": lobs_eq}, mask=mask_l, info=lobs_is2,
                 robust_delta=float(np.sqrt(CHI2_MONO))))
             states, _, chi2s = E.optimize(
-                prob, states, iters=iters,
+                prob, states, iters=iters, accept="gn",
                 dense_free_mask={"pose": kf_free},
                 lm_free_mask={"pt": pt_free, "ln": ln_free})
             mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)
             mask_l = lobs_valid & (chi2s["line"] < CHI2_MONO)
         return (states["pose"], states["pt"], states["ln"], mask, mask_l)
+
+    return run
+
+
+def make_pose_optimizer_stereo(K: PinholeK, bf: float, cap: int,
+                               rounds: int = 4, iters: int = 10):
+    """Pose-only IRLS with STEREO (u, v, u_R) residuals for features
+    that have a right-eye match and mono residuals for the rest
+    (reference PoseOptimization's EdgeStereoSE3ProjectXYZOnlyPose branch
+    for mvuRight>=0 features, src/Optimizer.cc:2399 + g2o
+    types_six_dof_expmap.h): the third residual u_R = u - bf/z pins
+    depth per observation, which conditions translation along the
+    optical axis far better than mono edges.
+
+    (pose0 [3,4], uvr [cap,3] (u, v, u_right; u_right<0 marks mono),
+     X [cap,3], valid [cap], is2 [cap]) -> (pose, inlier, n_inliers)
+    """
+    CHI2_STEREO = 7.815           # 3-DoF 95% gate (reference chi2 7.815)
+    res_st = RES.make_stereo_reproj_fixed(K, bf)
+    res_mono = RES.make_point_reproj_fixed(K)
+
+    @jax.jit
+    def run(pose0, uvr, X, valid, is2):
+        has_r = uvr[:, 2] > 0
+        states = {"pose": pose0[None]}
+        zero = jnp.zeros(cap, jnp.int32)
+        mask_s = valid & has_r
+        mask_m = valid & ~has_r
+        for _ in range(rounds):
+            prob = E.Problem()
+            prob.add_dense("pose", 1, 6, RES.retract_pose_cw)
+            prob.add_term(E.Term(
+                name="stereo", res_fn=res_st, rdim=3,
+                dense_refs=[("pose", zero)],
+                const={"uvr": uvr, "X": X}, mask=mask_s, info=is2,
+                robust_delta=float(np.sqrt(CHI2_STEREO))))
+            prob.add_term(E.Term(
+                name="mono", res_fn=res_mono, rdim=2,
+                dense_refs=[("pose", zero)],
+                const={"uv": uvr[:, :2], "X": X}, mask=mask_m, info=is2,
+                robust_delta=float(np.sqrt(CHI2_MONO))))
+            states, _, chi2s = E.optimize(prob, states, iters=iters)
+            mask_s = valid & has_r & (chi2s["stereo"] < CHI2_STEREO)
+            mask_m = valid & ~has_r & (chi2s["mono"] < CHI2_MONO)
+        inlier = mask_s | mask_m
+        return states["pose"][0], inlier, jnp.sum(inlier)
 
     return run
 
@@ -862,7 +908,8 @@ def make_scale_refine(gravity: float, n_kf: int, iters: int = 12):
     return run
 
 
-def make_inertial_init(gravity: float, n_kf: int, iters: int = 20):
+def make_inertial_init(gravity: float, n_kf: int, iters: int = 20,
+                       prior_g: float = 1e2, prior_a: float = 1e10):
     """IMU initialization: optimize gravity direction, scale, shared
     biases and per-KF velocities with poses fixed (reference
     Optimizer::InertialOptimization, src/Optimizer.cc:9914, called from
@@ -897,6 +944,29 @@ def make_inertial_init(gravity: float, n_kf: int, iters: int = 20):
             dense_refs=[("gdir", z), ("scale", z), ("bg", z), ("ba", z),
                         ("vel", idx1), ("vel", idx1 + 1)],
             const=const, mask=edge_valid, info=imu_info))
+        # bias priors: the quiet-start init problem is degenerate in
+        # (scale, ba, gravity) — without the reference's strong priors
+        # (priorG=1e2, priorA=1e10: first-init arguments of
+        # InitializeIMU, src/LocalMapping.cc:2143, applied as
+        # EdgePriorGyro/EdgePriorAcc in InertialOptimization
+        # src/Optimizer.cc:9914) the solver can trade a ~10x scale for a
+        # multi-m/s^2 fake accelerometer bias (observed on the MH
+        # replay).  The acc prior effectively pins ba~0 for the first
+        # init; the windowed VI-BA re-estimates biases with RW edges
+        # once motion makes them observable.
+        z1 = jnp.zeros(1, jnp.int32)
+        prob.add_term(E.Term(
+            name="prior_bg", res_fn=RES.state_prior, rdim=3,
+            dense_refs=[("bg", z1)],
+            const={"x0": jnp.zeros((1, 3), jnp.float32)},
+            mask=jnp.ones(1, bool),
+            info=jnp.full((1,), prior_g, jnp.float32)))
+        prob.add_term(E.Term(
+            name="prior_ba", res_fn=RES.state_prior, rdim=3,
+            dense_refs=[("ba", z1)],
+            const={"x0": jnp.zeros((1, 3), jnp.float32)},
+            mask=jnp.ones(1, bool),
+            info=jnp.full((1,), prior_a, jnp.float32)))
         states = {"gdir": Rwg0[None], "scale": jnp.ones((1, 1), jnp.float32),
                   "bg": jnp.zeros((1, 3), jnp.float32),
                   "ba": jnp.zeros((1, 3), jnp.float32), "vel": vel0}
@@ -928,7 +998,7 @@ def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
     """
     Rcb = jnp.asarray(Rcb, jnp.float32)
     tcb = jnp.asarray(tcb, jnp.float32)
-    reproj_fn = RES.make_point_reproj_body_ba(K, Rcb, tcb)
+    reproj_fn = RES.point_reproj_body_ba_for(K, Rcb, tcb)
     line_fn = RES.make_line_reproj_body_ba(K, Rcb, tcb)
     inertial_fn = RES.make_inertial(gravity)
     with_lines = n_ln > 0 and n_lobs > 0
@@ -952,7 +1022,7 @@ def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
         idx1 = jnp.arange(n_kf - 1, dtype=jnp.int32)
         idx2 = idx1 + 1
         for _ in range(rounds):
-            prob = E.Problem()
+            prob = E.Problem(linear_solver="cg")
             prob.add_dense("pose", n_kf, 6, RES.retract_pose_wb)
             prob.add_dense("vel", n_kf, 3, RES.retract_additive)
             prob.add_dense("bg", n_kf, 3, RES.retract_additive)
@@ -985,7 +1055,7 @@ def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                 dense_refs=[("ba", idx1), ("ba", idx2)],
                 const=None, mask=edge_valid, info=rw_info_a))
             states, _, chi2s = E.optimize(
-                prob, states, iters=iters, dense_free_mask=free,
+                prob, states, iters=iters, accept="gn", dense_free_mask=free,
                 lm_free_mask=lm_free)
             mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)
             if with_lines:
@@ -1017,16 +1087,16 @@ def make_local_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
         states = {"pose": kf_poses, "pt": pt_xyz}
         mask = obs_valid
         for _ in range(rounds):
-            prob = E.Problem()
+            prob = E.Problem(linear_solver="cg")
             prob.add_dense("pose", n_kf, 6, RES.retract_pose_cw)
             prob.add_landmarks("pt", n_pt, 3, RES.retract_additive)
             prob.add_term(E.Term(
-                name="reproj", res_fn=RES.make_point_reproj(K), rdim=2,
+                name="reproj", res_fn=RES.point_reproj_ba_for(K), rdim=2,
                 dense_refs=[("pose", obs_kf)], lm_ref=("pt", obs_pt),
                 const={"uv": obs_uv}, mask=mask, info=obs_is2,
                 robust_delta=float(np.sqrt(CHI2_MONO))))
             states, _, chi2s = E.optimize(
-                prob, states, iters=iters,
+                prob, states, iters=iters, accept="gn",
                 dense_free_mask={"pose": kf_free},
                 lm_free_mask={"pt": pt_free})
             mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)
@@ -1108,7 +1178,7 @@ def make_local_ba_lines_only(K: PinholeK, n_kf: int, n_ln: int,
         mask = lobs_valid
         gate_key = "line" if mode in (1, 3) else "ang"
         for _ in range(rounds):
-            prob = E.Problem()
+            prob = E.Problem(linear_solver="cg")
             prob.add_dense("pose", n_kf, 6, RES.retract_pose_cw)
             prob.add_landmarks("ln", n_ln, 6, RES.retract_additive)
             if mode in (1, 3):
@@ -1125,7 +1195,7 @@ def make_local_ba_lines_only(K: PinholeK, n_kf: int, n_ln: int,
                     info=lobs_is2 * ANG_INFO,
                     robust_delta=float(np.sqrt(CHI2_MONO))))
             states, _, chi2s = E.optimize(
-                prob, states, iters=iters,
+                prob, states, iters=iters, accept="gn",
                 dense_free_mask={"pose": kf_free},
                 lm_free_mask={"ln": ln_free})
             mask = lobs_valid & (chi2s[gate_key] < CHI2_MONO)

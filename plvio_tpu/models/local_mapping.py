@@ -36,6 +36,23 @@ class LocalMapper:
         self.n_feat = n_feat
         cam = cfg.camera
         self.K = PinholeK(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+        # KB8 fisheye runs the NATIVE lens through the back end too:
+        # LBA/LIBA point edges project the equidistant model against RAW
+        # pixels (reference KannalaBrandt8::projectJac feeds every
+        # optimizer edge via GeometricCamera,
+        # src/CameraModels/KannalaBrandt8.cpp).  The epipolar matcher and
+        # triangulator stay on UNDISTORTED coordinates by design: for
+        # KB8 the iterative unprojection makes those exact pinhole rays,
+        # so two-view geometry there is not a proxy (equivalent to the
+        # reference's unprojectEig + Triangulate path).
+        self.kb8 = None
+        self.ba_K = self.K
+        if cam.model == "kb8":
+            from ..solver.residuals import KB8K
+            d = tuple(cam.dist) + (0.0,) * 4
+            self.kb8 = KB8K(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                            k1=d[0], k2=d[1], k3=d[2], k4=d[3])
+            self.ba_K = self.kb8
         self.ba_kf_cap = ba_kf_cap
         self.ba_pt_cap = ba_pt_cap
         self.ba_obs_cap = ba_obs_cap
@@ -43,13 +60,17 @@ class LocalMapper:
         self.epi_match = KN.make_epipolar_matcher(self.K, n_feat)
         self.triangulate = KN.make_triangulator(self.K, tri_cap)
         self.local_ba_kernel = KN.make_local_ba(
-            self.K, ba_kf_cap, ba_pt_cap, ba_obs_cap)
+            self.ba_K, ba_kf_cap, ba_pt_cap, ba_obs_cap)
         self.recent_pts: List[np.ndarray] = []  # per-KF batches for culling
         # duplicate-landmark fusion (reference ORBmatcher::Fuse,
         # src/ORBmatcher.cc:823, driven by SearchInNeighbors)
         self.fuse_cap = 2048
-        self.fuse_match = KN.make_projection_matcher(
-            self.K, n_feat, self.fuse_cap)
+        if self.kb8 is not None:
+            self.fuse_match = KN.make_projection_matcher_kb8(
+                self.kb8, n_feat, self.fuse_cap)
+        else:
+            self.fuse_match = KN.make_projection_matcher(
+                self.K, n_feat, self.fuse_cap)
         # KeyFrameDatabase hook (wired by System) so culled KFs leave the
         # BoW bank too (the reference erases from mpKeyFrameDB on SetBadFlag)
         self.kfdb = None
@@ -66,7 +87,7 @@ class LocalMapper:
             self.line_pair_match = KN.make_line_pair_matcher(nl)
             self.line_triangulate = KN.make_line_triangulator(self.K, nl)
             self.local_ba_pl_kernel = KN.make_local_ba_pl(
-                self.K, ba_kf_cap, ba_pt_cap, ba_obs_cap,
+                self.ba_K, ba_kf_cap, ba_pt_cap, ba_obs_cap,
                 self.ba_ln_cap, self.ba_lobs_cap)
             self.recent_lns: List[np.ndarray] = []
             # `SLAM` modes 1-3: line-only LBA flavor (reference
@@ -98,7 +119,7 @@ class LocalMapper:
             self.liba_ln_cap = 256 if self.use_lines else 0
             self.liba_lobs_cap = 512 if self.use_lines else 0
             self.liba_kernel = KN.make_local_inertial_ba(
-                self.K, ba_kf_cap, ba_pt_cap, ba_obs_cap,
+                self.ba_K, ba_kf_cap, ba_pt_cap, ba_obs_cap,
                 self.R_cb, self.t_cb, cfg.imu.gravity,
                 n_ln=self.liba_ln_cap, n_lobs=self.liba_lobs_cap)
             self._kf_since_init = 0
@@ -106,6 +127,11 @@ class LocalMapper:
     @property
     def map(self) -> MapStore:
         return self.atlas.current
+
+    def _ba_uv(self, m: MapStore):
+        """Observation pixels for BA edges: RAW pixels when the native
+        KB8 lens is the BA camera, undistorted otherwise."""
+        return m.kf_feat_uv_raw if self.kb8 is not None else m.kf_feat_uv
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int, protect=()) -> list:
@@ -186,7 +212,7 @@ class LocalMapper:
         _, pt_feat, matched, _ = self.fuse_match(
             jnp.asarray(m.kf_pose_cw[target_kf]), jnp.asarray(xyz),
             jnp.asarray(desc), jnp.asarray(live),
-            jnp.asarray(m.kf_feat_uv[target_kf]),
+            jnp.asarray(self._ba_uv(m)[target_kf]),
             jnp.asarray(m.kf_feat_desc[target_kf]),
             jnp.asarray(m.kf_feat_octave[target_kf]),
             jnp.asarray(m.kf_feat_valid[target_kf]), jnp.float32(2.0),
@@ -564,7 +590,7 @@ class LocalMapper:
             feat = np.nonzero((match >= 0) & np.isin(match, pt_ids))[0]
             obs_kf.append(np.full(len(feat), s, np.int32))
             obs_pt.append(pt_slot[match[feat]])
-            obs_uv.append(m.kf_feat_uv[kfi, feat])
+            obs_uv.append(self._ba_uv(m)[kfi, feat])
             obs_is2.append(1.0 / 1.2 ** (2.0 * m.kf_feat_octave[kfi, feat]))
         obs_kf = np.concatenate(obs_kf)[:self.ba_obs_cap]
         obs_pt = np.concatenate(obs_pt)[:self.ba_obs_cap]
@@ -679,9 +705,11 @@ class LocalMapper:
 
         new_poses = np.asarray(new_poses)
         new_pts = np.asarray(new_pts)
-        m.kf_pose_cw[slots[free_mask[:len(slots)]]] = \
-            new_poses[:len(slots)][free_mask[:len(slots)]]
-        m.pt_xyz[pt_ids] = new_pts[:len(pt_ids)]
+        wr = free_mask[:len(slots)] \
+            & np.isfinite(new_poses[:len(slots)]).all((1, 2))
+        m.kf_pose_cw[slots[wr]] = new_poses[:len(slots)][wr]
+        okp = np.isfinite(new_pts[:len(pt_ids)]).all(1)
+        m.pt_xyz[pt_ids[okp]] = new_pts[:len(pt_ids)][okp]
 
         # drop observations judged outliers by the BA
         inlier_np = np.asarray(inlier)[:n_obs]
@@ -783,6 +811,9 @@ class LocalMapper:
             stack, jnp.asarray(pose_R), jnp.asarray(pose_p), infos,
             jnp.asarray(edge_valid))
         s = float(s)
+        import os as _os
+        if _os.environ.get("PLVIO_TRACE"):
+            print(f"[trace] refine_scale s={s:.4f}", flush=True)
         if not np.isfinite(s) or abs(s - 1.0) < 1e-3 or s < 0.3 or s > 3.0:
             if abs(s - 1.0) < 1e-3:
                 self.map.imu_ba2 = True   # scale converged
@@ -871,6 +902,10 @@ class LocalMapper:
             stack, jnp.asarray(pose_R), jnp.asarray(pose_p), infos,
             jnp.asarray(edge_valid))
         scale = float(scale)
+        import os as _os
+        if _os.environ.get("PLVIO_TRACE"):
+            print(f"[trace] imu_init scale={scale:.4f} "
+                  f"bg={np.asarray(bg)} ba={np.asarray(ba)}", flush=True)
         if scale < 1e-2:   # degenerate (reference aborts if scale<0.02)
             return
         bg = np.asarray(bg)
@@ -980,7 +1015,7 @@ class LocalMapper:
             feat = np.nonzero((match >= 0) & np.isin(match, pt_ids))[0]
             obs_kf.append(np.full(len(feat), s, np.int32))
             obs_pt.append(pt_slot[match[feat]])
-            obs_uv.append(m.kf_feat_uv[kfi, feat])
+            obs_uv.append(self._ba_uv(m)[kfi, feat])
             obs_is2.append(1.0 / 1.2 ** (2.0 * m.kf_feat_octave[kfi, feat]))
         obs_kf = np.concatenate(obs_kf)[:self.ba_obs_cap]
         obs_pt = np.concatenate(obs_pt)[:self.ba_obs_cap]
@@ -1059,13 +1094,25 @@ class LocalMapper:
             (pose_out, vel_out, bg_out, ba_out, pt_out,
              inlier) = self.liba_kernel(*base_args)
 
-        free = kf_free[:n]
-        m.kf_pose_wb[win[free]] = np.asarray(pose_out)[:n][free]
-        m.kf_vel[win[free]] = np.asarray(vel_out)[:n][free]
-        m.kf_bias_g[win[free]] = np.asarray(bg_out)[:n][free]
-        m.kf_bias_a[win[free]] = np.asarray(ba_out)[:n][free]
+        # finite guards: a degenerate window (few inliers after chi2
+        # masking) can blow up the solve; never write non-finite state
+        # into the map — it would poison the tracker via the post-BA
+        # resync and every later preintegration
+        pose_np = np.asarray(pose_out)[:n]
+        vel_np = np.asarray(vel_out)[:n]
+        bg_np = np.asarray(bg_out)[:n]
+        ba_np = np.asarray(ba_out)[:n]
+        okf = (np.isfinite(pose_np).all((1, 2)) & np.isfinite(vel_np).all(1)
+               & np.isfinite(bg_np).all(1) & np.isfinite(ba_np).all(1))
+        free = kf_free[:n] & okf
+        m.kf_pose_wb[win[free]] = pose_np[free]
+        m.kf_vel[win[free]] = vel_np[free]
+        m.kf_bias_g[win[free]] = bg_np[free]
+        m.kf_bias_a[win[free]] = ba_np[free]
         m.set_cam_poses_from_body(win[free], self.Tbc)
-        m.pt_xyz[pt_ids] = np.asarray(pt_out)[:len(pt_ids)]
+        pt_np = np.asarray(pt_out)[:len(pt_ids)]
+        okp = np.isfinite(pt_np).all(1)
+        m.pt_xyz[pt_ids[okp]] = pt_np[okp]
         if self.liba_ln_cap > 0 and len(ln_ids):
             ln_new = np.asarray(ln_out)[:len(ln_ids)]
             okl = np.all(np.isfinite(ln_new), axis=1)

@@ -44,6 +44,17 @@ class LoopCloser:
         self.n_feat = n_feat
         cam = cfg.camera
         self.K = PinholeK(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
+        # KB8: global BA also runs the native lens on raw pixels (same
+        # dispatch as LocalMapper; reference projects every optimizer
+        # edge through GeometricCamera)
+        self.kb8 = None
+        self.ba_K = self.K
+        if cam.model == "kb8":
+            from ..solver.residuals import KB8K
+            d = tuple(cam.dist) + (0.0,) * 4
+            self.kb8 = KB8K(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy,
+                            k1=d[0], k2=d[1], k3=d[2], k4=d[3])
+            self.ba_K = self.kb8
         self.pg_kf_cap = pg_kf_cap
         self.pg_edge_cap = pg_edge_cap
         self.pose_graph = KN.make_pose_graph_optimizer(pg_kf_cap, pg_edge_cap)
@@ -208,7 +219,94 @@ class LoopCloser:
         s = float(s)
         if not (0.5 < s < 2.0):   # scale sanity (reference :96-106)
             return False, None, None, None
+        # guided refinement: grow correspondences under the RANSAC
+        # similarity and refit (reference iterates SearchBySim3
+        # src/ORBmatcher.cc:1962 + OptimizeSim3 src/Optimizer.cc:8462
+        # before accepting a loop/merge)
+        s, R, t, n_ref = self._refine_sim3_guided(
+            kf, cand, m2, s, np.asarray(R), np.asarray(t), fix_scale)
+        if n_ref < 20:
+            return False, None, None, None
+        if not (0.5 < s < 2.0):
+            return False, None, None, None
         return True, s, np.asarray(R), np.asarray(t)
+
+    @staticmethod
+    def _umeyama(X1: np.ndarray, X2: np.ndarray,
+                 fix_scale: bool = False):
+        """Horn/Umeyama closed-form similarity X2 ~ s R X1 + t — the
+        alignment core that OptimizeSim3 (src/Optimizer.cc:8462) reaches
+        iteratively on reprojection residuals."""
+        mu1, mu2 = X1.mean(0), X2.mean(0)
+        A = (X2 - mu2).T @ (X1 - mu1) / len(X1)
+        U, D, Vt = np.linalg.svd(A)
+        Sg = np.eye(3)
+        if np.linalg.det(U) * np.linalg.det(Vt) < 0:
+            Sg[2, 2] = -1
+        R = U @ Sg @ Vt
+        if fix_scale:
+            s = 1.0
+        else:
+            var1 = np.mean(np.sum((X1 - mu1) ** 2, -1))
+            s = float((D * Sg.diagonal()).sum() / max(var1, 1e-12))
+        t = mu2 - s * R @ mu1
+        return s, R, t
+
+    def _refine_sim3_guided(self, kf: int, cand: int, m2: MapStore,
+                            s: float, R: np.ndarray, t: np.ndarray,
+                            fix_scale: bool, cap: int = 1024):
+        """Grow 3D-3D map-point correspondences between the two sides
+        under the current similarity (guided search: 3D gate that
+        shrinks each round — the projection-window analog of
+        SearchBySim3) and refit the similarity on the grown inlier set.
+        Returns (s, R, t, n_inliers)."""
+        m = self.map
+
+        def side_points(store, k):
+            win = np.unique(np.concatenate(
+                [[k], store.covisible_kfs(k, n=5, min_weight=5)]))
+            win = win[store.kf_valid[win]]
+            ids = np.unique(store.kf_match_pt[win])
+            ids = ids[ids >= 0]
+            ids = ids[store.pt_valid[ids]]
+            return ids[:cap]
+
+        p1 = side_points(m, kf)
+        p2 = side_points(m2, cand)
+        if len(p1) < 10 or len(p2) < 10:
+            return s, R, t, 0
+        # fixed-shape pad (one compiled Hamming matmul for every loop
+        # candidate); padded rows sit at 1e6 so the 3D gate kills them
+        d1p = np.zeros((cap, 8), np.uint32)
+        d2p = np.full((cap, 8), 0xFFFFFFFF, np.uint32)
+        d1p[:len(p1)] = m.pt_desc[p1]
+        d2p[:len(p2)] = m2.pt_desc[p2]
+        X1 = np.full((cap, 3), 1e6, np.float64)
+        X2 = np.full((cap, 3), -1e6, np.float64)
+        X1[:len(p1)] = m.pt_xyz[p1]
+        X2[:len(p2)] = m2.pt_xyz[p2]
+        ham = np.asarray(M.hamming_matrix(
+            M.unpack_u32_to_pm1(jnp.asarray(d1p)),
+            M.unpack_u32_to_pm1(jnp.asarray(d2p))))[:len(p1), :len(p2)]
+        X1, X2 = X1[:len(p1)], X2[:len(p2)]
+        n_inl = 0
+        for radius in (0.5, 0.25, 0.12):
+            Y = s * X1 @ R.T + t
+            d2 = ((Y ** 2).sum(1)[:, None] + (X2 ** 2).sum(1)[None]
+                  - 2.0 * Y @ X2.T)
+            cost = np.where((d2 < radius * radius) & (ham <= 60.0),
+                            ham + d2, np.inf)
+            j = cost.argmin(1)
+            ok = np.isfinite(cost[np.arange(len(p1)), j])
+            # mutual consistency
+            i_back = cost.argmin(0)
+            ok &= i_back[j] == np.arange(len(p1))
+            if ok.sum() < 10:
+                return s, R, t, int(ok.sum())
+            sel1, sel2 = np.nonzero(ok)[0], j[ok]
+            s, R, t = self._umeyama(X1[sel1], X2[sel2], fix_scale)
+            n_inl = int(ok.sum())
+        return float(s), R, t, n_inl
 
     # ------------------------------------------------------------------
     def _inertial_gate(self, s, R, t, m: MapStore):
@@ -331,7 +429,12 @@ class LoopCloser:
         kf_free[1:n] = True
         kf_free[slot[int(cand)]] = False   # loop side fixed
 
-        out = self.pose_graph(
+        # inertial maps: gravity pins roll/pitch and IMU init pins
+        # scale, so the graph correction is yaw+translation only
+        # (reference OptimizeEssentialGraph4DoF, src/Optimizer.cc:14411,
+        # dispatched for inertial loops in CorrectLoop)
+        pg = self.pose_graph_4dof if m.imu_initialized else self.pose_graph
+        out = pg(
             jnp.asarray(states), jnp.asarray(kf_free),
             jnp.asarray(pad(np.asarray(edge_i, np.int32))),
             jnp.asarray(pad(np.asarray(edge_j, np.int32))),
@@ -378,20 +481,53 @@ class LoopCloser:
         BundleAdjustment(WithLines), src/Optimizer.cc:78/:903, launched
         from RunGlobalBundleAdjustment(WithLines) :3685/:3948): every KF
         free except the gauge anchor, every point a Schur-eliminated
-        landmark.  Over-capacity maps optimize the most-recent KFs and
-        the most-observed points; the rest keep their pose-graph result."""
+        landmark.  Maps larger than the single-kernel capacity run the
+        chain-partitioned block-Schwarz schedule instead (every KF still
+        moves — no truncation)."""
         m = self.map
-        kf_cap, pt_cap, obs_cap = self._gba_caps
+        kf_cap, _, _ = self._gba_caps
         chain = m.kf_chain()
         if len(chain) < 3:
             return
         if len(chain) > kf_cap:
-            # over-capacity: recent window only; older KFs keep their
-            # pose-graph-corrected poses (logged, not silent)
-            print(f"[gba] map has {len(chain)} KFs > cap {kf_cap}: "
-                  f"optimizing the most recent {kf_cap}")
-            keep = np.concatenate([[fixed_kf], chain[-(kf_cap - 1):]])
-            chain = np.unique(keep)[:kf_cap]
+            self._run_gba_chained(chain, fixed_kf)
+        else:
+            self._gba_block(chain, {int(fixed_kf)})
+        m.change_index += 1
+
+    def _run_gba_chained(self, chain: np.ndarray, fixed_kf: int,
+                         halo: int = 2, sweeps: int = 2) -> None:
+        """Chain-partitioned GBA for maps beyond the single-kernel KF
+        capacity: contiguous temporal-chain blocks with `halo`
+        boundary keyframes frozen per block, swept block-Gauss-Seidel —
+        the schedule of parallel/chain_ba.py run shard-sequentially on
+        one chip (the multichip path shards the identical partition
+        over the mesh; see parallel/chain_ba.make_chain_ba).  Every KF
+        in the map is optimized, unlike the previous newest-128
+        truncation (reference runs its GBA over ALL keyframes,
+        src/Optimizer.cc:78)."""
+        kf_cap, _, _ = self._gba_caps
+        W = kf_cap - 2 * halo
+        n_blocks = -(-len(chain) // W)
+        print(f"[gba] map has {len(chain)} KFs > cap {kf_cap}: "
+              f"chain-partitioned GBA, {n_blocks} blocks x {sweeps} sweeps")
+        for _ in range(sweeps):
+            for b0 in range(0, len(chain), W):
+                block = chain[max(0, b0 - halo):b0 + W + halo]
+                own = set(int(k) for k in chain[b0:b0 + W])
+                fixed = {int(k) for k in block if int(k) not in own}
+                if int(fixed_kf) in own:
+                    fixed.add(int(fixed_kf))
+                if not fixed:            # gauge for the very first block
+                    fixed.add(int(block[0]))
+                self._gba_block(block, fixed)
+
+    def _gba_block(self, chain: np.ndarray, fixed_ids: set,
+                   iters: int = 10) -> None:
+        """One global-BA solve over `chain` (<= kf_cap KFs) with the KFs
+        in `fixed_ids` held."""
+        m = self.map
+        kf_cap, pt_cap, obs_cap = self._gba_caps
         kf_slot = np.full(m.max_kf, -1, np.int32)
         kf_slot[chain] = np.arange(len(chain))
 
@@ -420,7 +556,9 @@ class LoopCloser:
             ks, fs, pts = ks[sel], fs[sel], pts[sel]
         obs_kf = ks.astype(np.int32)
         obs_pt = pt_slot[pts]
-        obs_uv = m.kf_feat_uv[chain[ks], fs]
+        uv_src = (m.kf_feat_uv_raw if self.kb8 is not None
+                  else m.kf_feat_uv)
+        obs_uv = uv_src[chain[ks], fs]
         obs_is2 = (1.0 / 1.2 ** (2.0 * m.kf_feat_octave[chain[ks], fs])
                    ).astype(np.float32)
 
@@ -433,7 +571,9 @@ class LoopCloser:
         kf_poses[:len(chain)] = m.kf_pose_cw[chain]
         kf_free = np.zeros(kf_cap, bool)
         kf_free[:len(chain)] = True
-        kf_free[kf_slot[fixed_kf]] = False
+        for f in fixed_ids:
+            if kf_slot[f] >= 0:
+                kf_free[kf_slot[f]] = False
         pt_xyz = np.zeros((pt_cap, 3), np.float32)
         pt_xyz[:len(pt_ids)] = m.pt_xyz[pt_ids]
         pt_free = np.zeros(pt_cap, bool)
@@ -481,7 +621,7 @@ class LoopCloser:
             ln_free[:len(ln_ids)] = True
             if self.gba_pl_kernel is None:
                 self.gba_pl_kernel = KN.make_local_ba_pl(
-                    self.K, kf_cap, pt_cap, obs_cap, ln_cap, lobs_cap,
+                    self.ba_K, kf_cap, pt_cap, obs_cap, ln_cap, lobs_cap,
                     rounds=2, iters=5)
             (poses_out, pts_out, lns_out, inl, _) = self.gba_pl_kernel(
                 jnp.asarray(kf_poses), jnp.asarray(kf_free),
@@ -504,7 +644,7 @@ class LoopCloser:
         else:
             if self.gba_kernel is None:
                 self.gba_kernel = KN.make_local_ba(
-                    self.K, kf_cap, pt_cap, obs_cap, rounds=2, iters=5)
+                    self.ba_K, kf_cap, pt_cap, obs_cap, rounds=2, iters=5)
             poses_out, pts_out, inl = self.gba_kernel(
                 jnp.asarray(kf_poses), jnp.asarray(kf_free),
                 jnp.asarray(pt_xyz), jnp.asarray(pt_free),
@@ -519,7 +659,6 @@ class LoopCloser:
         m.kf_pose_cw[chain[ok]] = poses_out[:len(chain)][ok]
         okp = np.all(np.isfinite(pts_out[:len(pt_ids)]), axis=1)
         m.pt_xyz[pt_ids[okp]] = pts_out[:len(pt_ids)][okp]
-        m.change_index += 1
 
     # ------------------------------------------------------------------
     def _merge_maps(self, kf: int, cand: int, m_old: MapStore,
@@ -554,10 +693,22 @@ class LoopCloser:
         self._fuse_duplicates(m_old, kf_new, cand)
         for k in (kf_new, cand):
             m_old.update_covisibility(int(k))
-        # weld BA anchored at the old-side candidate (reference: welding
-        # BA over the merge window, then pose graph — our global BA at
-        # merge scale covers both)
-        self.run_global_ba(fixed_kf=cand)
+        # weld BA anchored at the old-side candidate.  Inertial merges
+        # run the MergeInertialBA analog (reference src/Optimizer.cc:
+        # 12344, called from MergeLocal2 src/LoopClosing.cc:3142): a
+        # visual-inertial window across the weld with poses, velocities
+        # and biases free and preintegration + bias-RW edges along the
+        # temporal chain — the fused duplicate landmarks tie the two
+        # sides visually while the IMU terms keep velocity/bias
+        # continuity through the weld.  Visual-only merges keep the
+        # global BA (reference MergeLocal -> welding visual BA).
+        if (m_old.imu_initialized and m_cur.imu_initialized
+                and self.mapper is not None):
+            n_new = int((kf_map >= 0).sum())
+            self.mapper.local_inertial_ba(
+                kf_new, window=min(n_new + 6, self.mapper.ba_kf_cap))
+        else:
+            self.run_global_ba(fixed_kf=cand)
         self.pending_merge = dict(
             s=float(s), R=np.asarray(R), t=np.asarray(t),
             kf_map=kf_map, pt_map=pt_map, ln_map=ln_map,

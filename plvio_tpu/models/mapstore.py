@@ -45,6 +45,11 @@ class MapStore:
         self.kf_bias_a = np.zeros((max_kf, 3), np.float32)
         # features (undistorted pixel coords)
         self.kf_feat_uv = np.zeros((max_kf, n_feat, 2), np.float32)
+        # RAW pixel coords (== kf_feat_uv for pinhole; differs for KB8
+        # fisheye, whose native BA edges project the true lens against
+        # raw pixels — reference KannalaBrandt8::projectJac used by
+        # every optimizer edge, src/CameraModels/KannalaBrandt8.cpp)
+        self.kf_feat_uv_raw = np.zeros((max_kf, n_feat, 2), np.float32)
         self.kf_feat_octave = np.zeros((max_kf, n_feat), np.int32)
         self.kf_feat_angle = np.zeros((max_kf, n_feat), np.float32)
         self.kf_feat_desc = np.zeros((max_kf, n_feat, 8), np.uint32)  # packed
@@ -358,9 +363,10 @@ class MapStore:
         ln_map[lns] = new_ln
 
         for f in ("kf_timestamp", "kf_pose_cw", "kf_pose_wb", "kf_vel",
-                  "kf_bias_g", "kf_bias_a", "kf_feat_uv", "kf_feat_octave",
-                  "kf_feat_angle", "kf_feat_desc", "kf_feat_valid",
-                  "kf_line_ep", "kf_line_desc", "kf_line_valid"):
+                  "kf_bias_g", "kf_bias_a", "kf_feat_uv", "kf_feat_uv_raw",
+                  "kf_feat_octave", "kf_feat_angle", "kf_feat_desc",
+                  "kf_feat_valid", "kf_line_ep", "kf_line_desc",
+                  "kf_line_valid"):
             getattr(self, f)[new_kf] = getattr(other, f)[kfs]
         mp = other.kf_match_pt[kfs]
         self.kf_match_pt[new_kf] = np.where(

@@ -21,7 +21,8 @@ FORMAT_VERSION = 1
 
 _ARRAY_FIELDS = [
     "kf_valid", "kf_timestamp", "kf_pose_cw", "kf_pose_wb", "kf_vel",
-    "kf_bias_g", "kf_bias_a", "kf_feat_uv", "kf_feat_octave",
+    "kf_bias_g", "kf_bias_a", "kf_feat_uv", "kf_feat_uv_raw",
+    "kf_feat_octave",
     "kf_feat_angle", "kf_feat_desc", "kf_feat_valid", "kf_match_pt",
     "kf_line_ep", "kf_line_desc", "kf_line_valid", "kf_match_ln",
     "kf_prev", "kf_next",
@@ -60,7 +61,10 @@ def load_map(path: str) -> MapStore:
                  max_lines=caps["max_lines"], n_feat=caps["n_feat"],
                  n_line_feat=caps["n_line_feat"], map_id=meta["map_id"])
     for k in _ARRAY_FIELDS:
-        getattr(m, k)[...] = data[k]
+        if k in data.files:
+            getattr(m, k)[...] = data[k]
+    if "kf_feat_uv_raw" not in data.files:   # pre-raw-uv checkpoints
+        m.kf_feat_uv_raw[...] = m.kf_feat_uv
     for k in _SCALAR_FIELDS:
         setattr(m, k, meta[k])
     for kf in meta.get("imu_raw_kfs", []):

@@ -68,7 +68,7 @@ class System:
             from ..ops import lines as LN
             self.extract_lines = LN.make_line_extractor(
                 cam.height, cam.width, max_lines=256,
-                detector=cfg.line.detector)
+                detector=cfg.line.detector, levels=cfg.line.levels)
 
         # BoW vocabulary + keyframe database (reference: ORBVocabulary +
         # KeyFrameDatabase built in System::System src/System.cc:83-108)
@@ -251,6 +251,26 @@ class System:
                 kf, protect=(self.tracker.ref_kf,))
             if culled:
                 self.tracker.reanchor_records(culled)
+            # resync the tracker's frame state to the BA-optimized KF:
+            # this KF IS the current frame, and the window BA just moved
+            # it — tracking against the stale pre-BA pose makes the
+            # inertial prior fight the visual term harder every insert
+            # (reference re-poses the last frame on map change and
+            # resyncs inertial state in UpdateFrameIMU,
+            # src/Tracking.cc:2287-2294, :6117).  Skipped when an IMU-init
+            # transform is pending: apply_map_transform performs the
+            # equivalent resync in the new frame.
+            t = self.tracker
+            if kf == t.last_created_kf and m.kf_valid[kf] \
+                    and t.last_kf_frame_idx == t.frame_idx \
+                    and self.mapper.pending_transform is None \
+                    and np.isfinite(m.kf_pose_cw[kf]).all():
+                t.last_pose_cw = m.kf_pose_cw[kf].copy()
+                if t.use_imu and m.imu_initialized \
+                        and np.isfinite(m.kf_vel[kf]).all():
+                    t.frame_vel = m.kf_vel[kf].copy()
+                    t.frame_bg = m.kf_bias_g[kf].copy()
+                    t.frame_ba = m.kf_bias_a[kf].copy()
             if self.loop_closer is not None:
                 self.loop_closer.process_keyframe(kf)
                 merge = self.loop_closer.pending_merge
@@ -312,6 +332,7 @@ class System:
         from .tracking import TrackState
         t.state = TrackState.NO_IMAGES_YET
         t.init_feats = None
+        t.last_created_kf = INVALID
         t.last_feat_pt = None
         t.velocity = None
         t.lost_count = 0
@@ -353,6 +374,7 @@ class System:
         t.last_feat_pt = None
         t.last_feat_ln = None
         t.ref_kf = INVALID
+        t.last_created_kf = INVALID
         t.velocity = None
         t.lost_count = 0
         t.imu_since_kf = []

@@ -19,6 +19,7 @@ Key call-graph parity (reference file:line):
 from __future__ import annotations
 
 import dataclasses
+import os
 from enum import IntEnum
 from typing import List, Optional, Tuple
 
@@ -96,6 +97,16 @@ class Tracker:
                 self.K, self.n_line_feat, self.local_ln_cap)
             self.pose_opt_pl = KN.make_fast_pose_optimizer_pl(
                 self.K, local_pts_cap, self.local_ln_cap)
+        # stereo/RGB-D: right-eye residual u_R = u - bf/z joins the
+        # pose-only optimization for features with a stereo depth
+        # (reference EdgeStereoSE3ProjectXYZOnlyPose for mvuRight>=0,
+        # src/Optimizer.cc:2399; RGB-D synthesizes u_R from depth)
+        self.pose_opt_stereo = None
+        self.bf = cfg.camera.baseline * cfg.camera.fx
+        if cfg.sensor in (1, 2) and self.bf > 0 and self.kb8 is None:
+            self.pose_opt_stereo = KN.make_pose_optimizer_stereo(
+                self.K, self.bf, local_pts_cap)
+
         # `SLAM` modes 1-3: line-only pose optimization flavors
         # (reference src/Tracking.cc:4287-4291 dispatch)
         self.pose_opt_line_only = None
@@ -142,6 +153,13 @@ class Tracker:
         self.init_feats: Optional[Features] = None
         self.init_timestamp: float = 0.0
         self.last_kf_frame_idx = 0
+        self.last_kf_time = -1e18   # timestamp of the last CREATED KF
+        # the temporal-chain predecessor: the last CREATED keyframe
+        # (reference mpLastKeyFrame) — DISTINCT from ref_kf, which is
+        # re-selected per frame for the local-map gather (reference
+        # mpReferenceKF); linking kf_prev to the re-selected ref would
+        # corrupt the inertial preintegration chain
+        self.last_created_kf: int = INVALID
         self.frame_idx = 0
         self.frames: List[FrameRecord] = []
         self.new_kf_queue: List[int] = []
@@ -202,6 +220,7 @@ class Tracker:
         marks no depth)."""
         self.frame_idx += 1
         self._frame_imu = None
+        self._pred_wb = None
         self._frame_lines = line_feats
         self._frame_depth = depth
         self._frame_line_depth = line_depth
@@ -241,9 +260,13 @@ class Tracker:
             ok = self._relocalize(feats)
         else:
             ok = self._track_frame(feats, timestamp)
-        if not ok and self.state == TrackState.RECENTLY_LOST:
-            # in-map relocalization: BoW candidates + PnP RANSAC
-            # (reference Tracking::Relocalization src/Tracking.cc:5744)
+        vi_mode = self.use_imu and self.map.imu_initialized
+        if not ok and self.state == TrackState.RECENTLY_LOST \
+                and not vi_mode:
+            # visual-only in-map relocalization: BoW candidates + PnP
+            # RANSAC (reference Tracking::Relocalization
+            # src/Tracking.cc:5744; the inertial path instead
+            # dead-reckons below, :2373-2402)
             ok = self._relocalize(feats)
         if ok:
             self.lost_count = 0
@@ -258,8 +281,27 @@ class Tracker:
                                      * self.cfg.camera.fps):
                 self.state = TrackState.LOST
                 self._handle_lost()
-            else:
-                self.state = TrackState.RECENTLY_LOST
+                return None
+            self.state = TrackState.RECENTLY_LOST
+            if vi_mode and self._pred_wb is not None:
+                # PRIMARY recently-lost pose source with IMU: hold the
+                # dead-reckoned state (reference PredictStateIMU during
+                # RECENTLY_LOST, src/Tracking.cc:2373-2388) so the next
+                # frame's local-map projection search starts from a live
+                # prior instead of a pose frozen at the loss frame; the
+                # reference keeps emitting these poses into the
+                # trajectory (motion-model update runs for
+                # bOK||RECENTLY_LOST, src/Tracking.cc:2592-2604)
+                prev_pose = self.last_pose_cw
+                self.last_pose_cw = self._wb_to_cw(self._pred_wb)
+                self.frame_vel = self._pred_vel.astype(np.float32)
+                R_c, t_c = self.last_pose_cw[:, :3], self.last_pose_cw[:, 3]
+                R_l, t_l = prev_pose[:, :3], prev_pose[:, 3]
+                R_cl = R_c @ R_l.T
+                self.velocity = np.concatenate(
+                    [R_cl, (t_c - R_cl @ t_l)[:, None]], 1)
+                self.frames.append(self._make_record(timestamp))
+                return self.last_pose_cw
             return None
 
     # ------------------------------------------------------------------
@@ -372,6 +414,7 @@ class Tracker:
             self._store_kf_inertial(kf1)
 
         self.ref_kf = kf1
+        self.last_created_kf = kf1
         self.last_feats = f1
         self.last_pose_cw = np.asarray(m.kf_pose_cw[kf1])
         feat_pt = np.full(self.n_feat, INVALID, np.int32)
@@ -380,6 +423,7 @@ class Tracker:
         self.velocity = None
         self.state = TrackState.OK
         self.last_kf_frame_idx = self.frame_idx
+        self.last_kf_time = timestamp
         self.new_kf_queue += [kf0, kf1]
         self.frames.append(self._make_record(timestamp))
 
@@ -455,6 +499,7 @@ class Tracker:
         if self._frame_line_depth is not None:
             self._create_depth_lines(kf)
         self.ref_kf = kf
+        self.last_created_kf = kf
         self.last_feats = feats
         self.last_pose_cw = np.eye(3, 4, dtype=np.float32)
         feat_pt = np.full(self.n_feat, INVALID, np.int32)
@@ -463,6 +508,7 @@ class Tracker:
         self.velocity = None
         self.state = TrackState.OK
         self.last_kf_frame_idx = self.frame_idx
+        self.last_kf_time = timestamp
         self.new_kf_queue.append(kf)
         if self.use_imu:
             m.kf_pose_wb[kf] = self._cw_to_wb(m.kf_pose_cw[kf])
@@ -541,6 +587,7 @@ class Tracker:
         m = self.map
         n = min(self.n_feat, f.uv.shape[0])
         m.kf_feat_uv[kf, :n] = np.asarray(f.uv_und)[:n]
+        m.kf_feat_uv_raw[kf, :n] = np.asarray(f.uv)[:n]
         m.kf_feat_octave[kf, :n] = np.asarray(f.octave)[:n]
         m.kf_feat_angle[kf, :n] = np.asarray(f.angle)[:n]
         m.kf_feat_desc[kf, :n] = np.asarray(M.pack_bits_u32(f.desc))[:n]
@@ -632,6 +679,9 @@ class Tracker:
                 fl >= 0, ln_map[np.maximum(fl, 0)], INVALID).astype(np.int32)
         if self.ref_kf != INVALID and kf_map[self.ref_kf] >= 0:
             self.ref_kf = int(kf_map[self.ref_kf])
+        if self.last_created_kf != INVALID \
+                and kf_map[self.last_created_kf] >= 0:
+            self.last_created_kf = int(kf_map[self.last_created_kf])
         # trajectory records: merged-map records follow their ref KF into
         # the surviving map (relative translations scale by s); records
         # in maps behind the removed Atlas slot shift down one index
@@ -750,6 +800,12 @@ class Tracker:
     def _track_frame(self, feats: Features, timestamp: float) -> bool:
         m = self.map
         vi_mode = self.use_imu and m.imu_initialized
+        # snapshot the inertial frame state: the VI pose optimizer below
+        # mutates vel/bias before the inlier check, and a failed fit
+        # must not poison the dead-reckoning state used while
+        # RECENTLY_LOST
+        bg_in, ba_in = self.frame_bg.copy(), self.frame_ba.copy()
+        vel_in = self.frame_vel.copy()
         preint_frame = None
         if vi_mode and self._frame_imu is not None:
             # IMU state prediction from the last frame (reference
@@ -798,6 +854,10 @@ class Tracker:
                 # Hamming matmul covers all buckets at once here)
                 ok_ref = self._track_reference_kf(feats, pose_pred)
                 if not ok_ref:
+                    if os.environ.get("PLVIO_TRACE"):
+                        print(f"[trace] f={self.frame_idx} st={self.state.name} "
+                              f"ref={self.ref_kf} nm={n_matched} FAIL "
+                              f"no-ref-kf-fallback", flush=True)
                     return False
                 uv_m, pt_feat, matched, feat_pt, ids, live, xyz = ok_ref
                 n_matched = int(matched.sum())
@@ -893,11 +953,36 @@ class Tracker:
             self.last_line_feats = lf
             m.ln_visible[ln_ids[ln_live]] += 1
             m.ln_found[ln_ids[good_l]] += 1
+        elif self.pose_opt_stereo is not None \
+                and self._frame_depth is not None:
+            # stereo/RGB-D: attach u_R where the matched feature carries
+            # a stereo depth (u_R < 0 keeps the edge mono)
+            depth = self._frame_depth
+            pf = np.asarray(pt_feat)
+            safe_f = np.clip(pf, 0, len(depth) - 1)
+            z_f = np.where((pf >= 0) & (pf < len(depth)),
+                           depth[safe_f], -1.0)
+            uv_np = np.asarray(uv_m)
+            ur = np.where(z_f > 0.1,
+                          uv_np[:, 0] - self.bf / np.maximum(z_f, 0.1),
+                          -1.0)
+            uvr = jnp.asarray(
+                np.concatenate([uv_np, ur[:, None]], 1), jnp.float32)
+            pose, inlier, n_inl = self.pose_opt_stereo(
+                jnp.asarray(pose_pred), uvr, jnp.asarray(xyz), matched, is2)
         else:
             pose, inlier, n_inl = self.pose_opt(
                 jnp.asarray(pose_pred), uv_m, jnp.asarray(xyz), matched, is2)
         n_inliers = int(n_inl)
+        if os.environ.get("PLVIO_TRACE"):
+            print(f"[trace] f={self.frame_idx} st={self.state.name} "
+                  f"ref={self.ref_kf} nm={n_matched} ni={n_inliers} "
+                  f"vi={vi_mode} |v|={np.linalg.norm(self.frame_vel):.2f} "
+                  f"|bg|={np.linalg.norm(self.frame_bg):.4f} "
+                  f"|ba|={np.linalg.norm(self.frame_ba):.3f}", flush=True)
         if n_inliers < self.cfg.tracking.min_inliers_track:
+            self.frame_bg, self.frame_ba = bg_in, ba_in
+            self.frame_vel = vel_in
             return False
 
         # bookkeeping
@@ -908,7 +993,6 @@ class Tracker:
         good_slots = np.nonzero(inlier_np)[0]
         feat_pt_np[pt_feat_np[good_slots]] = ids[good_slots]
         # found/visible statistics for culling
-        vis_slots = ids[np.asarray(matched)]
         m.pt_visible[ids[live]] += 1
         m.pt_found[ids[good_slots]] += 1
 
@@ -922,8 +1006,33 @@ class Tracker:
         self.last_feats = feats
         self.last_feat_pt = feat_pt_np
         self.last_n_inliers = n_inliers
-        # track reference KF: covisible KF sharing most points
+        self._reselect_ref_kf(ids[good_slots])
         return True
+
+    def _reselect_ref_kf(self, tracked_ids: np.ndarray) -> None:
+        """Re-pick the reference KF every frame as the covisible KF
+        sharing the most currently-tracked points (reference
+        UpdateLocalKeyFramesWithLines, src/Tracking.cc:5553) so the
+        local-map gather follows the camera through fast motion instead
+        of staying centred on the KF it was assigned at creation."""
+        if len(tracked_ids) == 0:
+            return
+        m = self.map
+        cands = m.covisible_kfs(self.ref_kf, n=10, min_weight=5)
+        chain = m.kf_chain()
+        recent = chain[-4:] if len(chain) else np.empty(0, np.int64)
+        cands = np.unique(np.concatenate(
+            [[self.ref_kf], cands, recent]).astype(np.int64))
+        cands = cands[(cands >= 0)
+                      & m.kf_valid[np.clip(cands, 0, m.max_kf - 1)]]
+        tracked = np.unique(tracked_ids[tracked_ids >= 0])
+        best_kf, best_n = self.ref_kf, -1
+        for kf in cands:
+            match = m.kf_match_pt[kf]
+            n = int(np.isin(match[match >= 0], tracked).sum())
+            if n > best_n:
+                best_kf, best_n = int(kf), n
+        self.ref_kf = best_kf
 
     # ------------------------------------------------------------------
     def _handle_lost(self) -> None:
@@ -952,6 +1061,7 @@ class Tracker:
             self.atlas.maps[self.atlas.active] = fresh
         self.state = TrackState.NO_IMAGES_YET
         self.init_feats = None
+        self.last_created_kf = INVALID
         self.last_feat_pt = None
         self.velocity = None
         self.lost_count = 0
@@ -1038,11 +1148,13 @@ class Tracker:
         if gap >= self.cfg.tracking.kf_max_interval:
             return True
         # inertial cadence: temporal chain must stay dense enough for
-        # preintegration (reference inserts every 0.5 s with IMU)
+        # preintegration (reference inserts every 0.5 s since the LAST
+        # CREATED KF, mpLastKeyFrame — NOT the per-frame re-selected
+        # reference KF, which may be an older covisible and would make
+        # this fire every frame)
         if self.use_imu and m.imu_initialized \
                 and self.last_frame_time is not None \
-                and self.ref_kf >= 0 \
-                and self.last_frame_time - m.kf_timestamp[self.ref_kf] >= 0.5:
+                and self.last_frame_time - self.last_kf_time >= 0.5:
             return True
         # (the reference couples c2 with a mapper-idle check c1b; in its
         # threaded system a busy mapper throttles insertion to every few
@@ -1065,7 +1177,9 @@ class Tracker:
         m.kf_timestamp[kf] = timestamp
         m.kf_pose_cw[kf] = self.last_pose_cw.astype(np.float32)
         self._store_kf_features(kf, feats, self._frame_lines)
-        prev = self.ref_kf
+        prev = self.last_created_kf
+        if prev == INVALID or not m.kf_valid[prev]:
+            prev = self.ref_kf
         m.kf_prev[kf] = prev
         m.kf_next[prev] = kf
         matched = self.last_feat_pt >= 0
@@ -1085,7 +1199,9 @@ class Tracker:
         if self._frame_line_depth is not None:
             self._create_depth_lines(kf)
         self.ref_kf = kf
+        self.last_created_kf = kf
         self.last_kf_frame_idx = self.frame_idx
+        self.last_kf_time = timestamp
         self.new_kf_queue.append(kf)
         m.change_index += 1
 

@@ -709,9 +709,56 @@ def extract_lines(img: jnp.ndarray, max_lines: int = 256,
                         lineq=line_equation(ep), desc=desc, valid=valid)
 
 
+def extract_lines_pyramid(img: jnp.ndarray, max_lines: int = 256,
+                          detector: int = 0, **kw) -> LineFeatures:
+    """2-level line pyramid (reference Lineextractor builds a 2-level
+    Gaussian pyramid at scale 2.0 and detects + computes LBD per level,
+    src/LineExtractor.cc:45-154): level 1 detects on a 2x-downsampled
+    image, catching long / motion-blurred structures whose gradients
+    fragment at full resolution, and its LBD samples the coarse
+    gradients (scale-robust re-observation under ~1.5-2x zoom).  Level-1
+    segments are mapped back to level-0 pixel coords and deduplicated
+    against level-0 detections so the mutual-NN ratio tests downstream
+    are not poisoned by near-identical duplicates."""
+    n1 = max_lines // 4
+    n0 = max_lines - n1
+    f0 = extract_lines(img, n0, detector, **kw)
+    h2 = (img.shape[0] // 2) * 2
+    w2 = (img.shape[1] // 2) * 2
+    img1 = img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean((1, 3))
+    f1 = extract_lines(img1, n1, detector, **kw)
+    # pixel-center mapping: level-1 pixel x covers level-0 [2x, 2x+1]
+    ep1 = f1.ep * 2.0 + 0.5
+    # dedupe: kill a level-1 segment whose endpoints both lie on some
+    # valid level-0 segment's line within 4 px at a matching angle
+    a1 = jnp.arctan2(ep1[:, 3] - ep1[:, 1], ep1[:, 2] - ep1[:, 0]) % jnp.pi
+    dang = jnp.abs(a1[:, None] - f0.angle[None, :]) % jnp.pi
+    dang = jnp.minimum(dang, jnp.pi - dang)
+    l0 = f0.lineq                                         # [n0,3]
+    d_s = jnp.abs(ep1[:, None, 0] * l0[None, :, 0]
+                  + ep1[:, None, 1] * l0[None, :, 1] + l0[None, :, 2])
+    d_e = jnp.abs(ep1[:, None, 2] * l0[None, :, 0]
+                  + ep1[:, None, 3] * l0[None, :, 1] + l0[None, :, 2])
+    dup = (dang < 0.1) & (d_s < 4.0) & (d_e < 4.0) & f0.valid[None, :]
+    keep1 = f1.valid & ~jnp.any(dup, axis=1)
+    ep = jnp.concatenate([f0.ep, ep1])
+    return LineFeatures(
+        ep=ep,
+        angle=jnp.concatenate([f0.angle, a1]),
+        length=jnp.concatenate([f0.length, f1.length * 2.0]),
+        lineq=line_equation(ep),
+        desc=jnp.concatenate([f0.desc, f1.desc]),
+        valid=jnp.concatenate([f0.valid, keep1]))
+
+
 def make_line_extractor(height: int, width: int, max_lines: int = 256,
-                        detector: int = 0):
-    @jax.jit
-    def run(img):
-        return extract_lines(img, max_lines, detector=detector)
+                        detector: int = 0, levels: int = 2):
+    if levels >= 2:
+        @jax.jit
+        def run(img):
+            return extract_lines_pyramid(img, max_lines, detector=detector)
+    else:
+        @jax.jit
+        def run(img):
+            return extract_lines(img, max_lines, detector=detector)
     return run

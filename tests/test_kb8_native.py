@@ -5,7 +5,9 @@ src/CameraModels/KannalaBrandt8.cpp — dispatched via GeometricCamera in
 every matcher/optimizer).  TUM-VI-class coefficients."""
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
+from plvio_tpu.config import SystemConfig, CameraConfig
 from plvio_tpu.models import kernels as KN
 from plvio_tpu.ops import matching as M
 from plvio_tpu.solver.residuals import KB8K, kb8_project_single
@@ -122,3 +124,46 @@ def test_kb8_tracker_selects_native_kernels():
     t = Tracker(cfg, Atlas(), 256)
     assert t.kb8 is not None
     assert abs(t.kb8.k3 + 0.0020532361) < 1e-9
+
+
+@pytest.mark.slow
+def test_kb8_fisheye_e2e_ate(rng):
+    """Fisheye end-to-end: mono SLAM on KB8-rendered raw images with the
+    native lens through the WHOLE stack — tracking (matcher + pose opt),
+    triangulation on exact undistorted rays, and LBA with the
+    equidistant reprojection edge on raw pixels (reference
+    KannalaBrandt8::projectJac used by every optimizer edge,
+    src/CameraModels/KannalaBrandt8.cpp)."""
+    from plvio_tpu.io import synthetic as syn
+    from plvio_tpu.io import trajectory as TIO
+    from plvio_tpu.models.system import System
+    from plvio_tpu.utils import lie
+    import jax.numpy as jnp
+
+    k = (0.01, -0.005, 0.002, 0.0)
+    n_frames = 30
+    scene = syn.make_room_scene(rng, n_points=4000, n_lines=10)
+    traj = syn.make_orbit_trajectory(duration=n_frames / 20.0, fps=20.0,
+                                     radius=0.6)
+    cfg = SystemConfig(camera=CameraConfig(
+        model="kb8", fx=380.0, fy=380.0, cx=376.0, cy=240.0, dist=k),
+        use_lines=False)
+    slam = System(cfg)
+    # the BA kernels must carry the native lens, not the pinhole proxy
+    from plvio_tpu.solver.residuals import KB8K
+    assert isinstance(slam.mapper.ba_K, KB8K)
+    assert isinstance(slam.loop_closer.ba_K, KB8K)
+
+    n_ok = 0
+    for i in range(n_frames):
+        img = syn.render_frame_kb8(scene, traj.R_wb[i], traj.p_wb[i],
+                                   k=k, rng=rng)
+        pose = slam.track_monocular(img, traj.timestamps[i])
+        n_ok += pose is not None
+    assert n_ok >= n_frames - 5, f"only {n_ok}/{n_frames} frames tracked"
+
+    est = slam.trajectory()
+    q = np.asarray(lie.rot_to_quat(jnp.asarray(traj.R_wb, jnp.float32)))
+    gt = TIO.Trajectory(traj.timestamps, traj.p_wb, q)
+    ate = TIO.ate_rmse(est, gt, with_scale=True)
+    assert ate < 0.06, f"fisheye ATE {ate:.4f} m"

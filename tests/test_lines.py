@@ -140,3 +140,49 @@ def test_line_triangulator_two_view():
                      jnp.asarray(ep1n), jnp.asarray(ep2n[perm]),
                      jnp.asarray(valid))
     assert np.asarray(good).sum() <= cap // 2
+
+
+def test_line_pyramid_zoom_reobservation(rng):
+    """2-level line pyramid (reference builds a 2-level Gaussian pyramid
+    at scale 2.0, src/LineExtractor.cc:45-154): LBD descriptors of the
+    same physical segments must match across a 1.6x zoom — the coarse
+    level keeps long structures detectable and their band statistics
+    stable under scale change."""
+    from plvio_tpu.ops import matching as M
+
+    segs = [(30, 40, 280, 55), (60, 190, 75, 30), (130, 70, 290, 210),
+            (20, 120, 300, 135)]
+    img0 = _draw_segments(segs=segs)
+    img0 += rng.normal(0, 2.0, img0.shape).astype(np.float32)
+    # zoomed view: scale around the image center by 1.6
+    H, W = img0.shape
+    s = 1.6
+    cx, cy = W / 2, H / 2
+    zsegs = [((x0 - cx) * s + cx, (y0 - cy) * s + cy,
+              (x1 - cx) * s + cx, (y1 - cy) * s + cy)
+             for (x0, y0, x1, y1) in segs]
+    img1 = _draw_segments(segs=zsegs)
+    img1 += rng.normal(0, 2.0, img1.shape).astype(np.float32)
+
+    f0 = LN.extract_lines_pyramid(jnp.asarray(img0), 128)
+    f1 = LN.extract_lines_pyramid(jnp.asarray(img1), 128)
+    assert int(f0.valid.sum()) >= 3 and int(f1.valid.sum()) >= 3
+
+    dist = np.array(M.hamming_matrix(f0.desc, f1.desc))
+    dist[~np.asarray(f0.valid)] = 1e9
+    dist[:, ~np.asarray(f1.valid)] = 1e9
+    # per true segment: some detection pair across the zoom must agree
+    # in descriptor (Hamming < 90/256) and geometry (angle)
+    ep0, ep1 = np.asarray(f0.ep), np.asarray(f1.ep)
+    n_reobs = 0
+    for (x0, y0, x1, y1) in segs:
+        ga = np.arctan2(y1 - y0, x1 - x0) % np.pi
+        def near(ep, a_ref, tol=0.1):
+            a = np.arctan2(ep[:, 3] - ep[:, 1], ep[:, 2] - ep[:, 0]) % np.pi
+            da = np.minimum(np.abs(a - a_ref), np.pi - np.abs(a - a_ref))
+            return da < tol
+        i0 = np.nonzero(near(ep0, ga) & np.asarray(f0.valid))[0]
+        i1 = np.nonzero(near(ep1, ga) & np.asarray(f1.valid))[0]
+        if len(i0) and len(i1) and dist[np.ix_(i0, i1)].min() < 90:
+            n_reobs += 1
+    assert n_reobs >= 3, f"only {n_reobs}/4 segments re-observed under zoom"
