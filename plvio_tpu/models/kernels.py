@@ -559,7 +559,7 @@ def make_local_ba_pl(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                 const={"l": lobs_eq}, mask=mask_l, info=lobs_is2,
                 robust_delta=float(np.sqrt(CHI2_MONO))))
             states, _, chi2s = E.optimize(
-                prob, states, iters=iters, accept="gn",
+                prob, states, iters=iters,
                 dense_free_mask={"pose": kf_free},
                 lm_free_mask={"pt": pt_free, "ln": ln_free})
             mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)
@@ -1055,7 +1055,7 @@ def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                 dense_refs=[("ba", idx1), ("ba", idx2)],
                 const=None, mask=edge_valid, info=rw_info_a))
             states, _, chi2s = E.optimize(
-                prob, states, iters=iters, accept="gn", dense_free_mask=free,
+                prob, states, iters=iters, dense_free_mask=free,
                 lm_free_mask=lm_free)
             mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)
             if with_lines:
@@ -1096,7 +1096,7 @@ def make_local_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                 const={"uv": obs_uv}, mask=mask, info=obs_is2,
                 robust_delta=float(np.sqrt(CHI2_MONO))))
             states, _, chi2s = E.optimize(
-                prob, states, iters=iters, accept="gn",
+                prob, states, iters=iters,
                 dense_free_mask={"pose": kf_free},
                 lm_free_mask={"pt": pt_free})
             mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)
@@ -1195,7 +1195,7 @@ def make_local_ba_lines_only(K: PinholeK, n_kf: int, n_ln: int,
                     info=lobs_is2 * ANG_INFO,
                     robust_delta=float(np.sqrt(CHI2_MONO))))
             states, _, chi2s = E.optimize(
-                prob, states, iters=iters, accept="gn",
+                prob, states, iters=iters,
                 dense_free_mask={"pose": kf_free},
                 lm_free_mask={"ln": ln_free})
             mask = lobs_valid & (chi2s[gate_key] < CHI2_MONO)

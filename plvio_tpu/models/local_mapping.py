@@ -123,6 +123,15 @@ class LocalMapper:
                 self.R_cb, self.t_cb, cfg.imu.gravity,
                 n_ln=self.liba_ln_cap, n_lobs=self.liba_lobs_cap)
             self._kf_since_init = 0
+            self._viba = {}   # map_id -> VIBA pulse state
+            # wide VIBA kernel (lazy: big compile, used for the 5 s
+            # full-map pulses + loop/merge inertial BA)
+            self.viba_kf_cap = 64
+            self.viba_pt_cap = 8192
+            self.viba_obs_cap = 16384
+            self.viba_ln_cap = 512 if self.use_lines else 0
+            self.viba_lobs_cap = 1024 if self.use_lines else 0
+            self.viba_kernel = None
 
     @property
     def map(self) -> MapStore:
@@ -159,6 +168,25 @@ class LocalMapper:
             # src/LocalMapping.cc:404-449)
             if not self.map.imu_ba2 and self._kf_since_init % 3 == 0:
                 self.refine_scale()
+            # VIBA maturity pulses: full-map inertial BA at ~5 s and
+            # ~15 s after IMU init (reference VIBA1/VIBA2 stages of
+            # Run_Lines, src/LocalMapping.cc:404-449 — FullInertialBA
+            # over ALL keyframes, not just the sliding window; without
+            # them drift outside the window is never re-optimized)
+            st = self._viba.get(self.map.map_id)
+            if st is not None:
+                ts = float(self.map.kf_timestamp[kf])
+                if ts - st["last"] > 5.0:
+                    # periodic full-map pulse: the reference stops at
+                    # VIBA1/VIBA2 because FullInertialBA is expensive on
+                    # CPU (src/LocalMapping.cc:404-449); the TPU window
+                    # kernel makes a sweep cheap enough to repeat, which
+                    # keeps drift outside the sliding window bounded
+                    self.full_inertial_ba()
+                    st["last"] = ts
+                if not st["v2"] and ts - st["t0"] > 15.0:
+                    st["v2"] = True
+                    self.map.imu_ba2 = True
         else:
             self.local_ba(kf)
         culled = self.cull_keyframes(kf, protect=protect)
@@ -926,6 +954,9 @@ class LocalMapper:
             m.kf_preint[k] = self._reintegrate(g_, a_, d_, bg, ba)
 
         m.imu_initialized = True
+        t0_init = float(m.kf_timestamp[chain[-1]])
+        self._viba[m.map_id] = {"t0": t0_init, "last": t0_init,
+                                "v2": False}
         self._push_transform(R_gw, scale)
         # full inertial BA over the recent chain (reference FullInertialBA)
         self.local_inertial_ba(int(chain[-1]), window=min(len(chain),
@@ -953,15 +984,75 @@ class LocalMapper:
     def local_inertial_ba(self, kf: int, window: Optional[int] = None) -> None:
         """Sliding-window VI-BA over the temporal chain (reference
         LocalInertialBA src/Optimizer.cc:9185: window Nd, fixed anchor)."""
-        import jax.numpy as jnp
         m = self.map
-        W = window or min(self.cfg.tracking.lba_window + 1, self.ba_kf_cap)
+        W = min(window or min(self.cfg.tracking.lba_window + 1,
+                              self.ba_kf_cap), self.ba_kf_cap)
         chain = m.kf_chain()
         if len(chain) < 3:
             return
         win = chain[-W:]
+        free = np.zeros(len(win), bool)
+        free[1:] = True         # anchor = oldest window KF
+        self._liba_window(win, free)
+
+    def full_inertial_ba(self, sweeps: int = 2, halo: int = 2) -> None:
+        """Full-map visual-inertial BA (reference FullInertialBA over
+        ALL keyframes, src/Optimizer.cc:1921, run at the VIBA1/VIBA2
+        maturity pulses of LocalMapping Run_Lines :404-449 and as the
+        inertial global BA after loop closing): maps beyond the window
+        kernel's capacity run contiguous temporal-chain blocks with
+        frozen halo keyframes, block-Gauss-Seidel swept — the same
+        partition schedule as the chained visual GBA, so one compiled
+        window kernel serves any map size."""
+        m = self.map
+        chain = m.kf_chain()
+        if len(chain) < 3:
+            return
+        if len(chain) <= self.viba_kf_cap:
+            free = np.zeros(len(chain), bool)
+            free[1:] = True
+            self._liba_window(chain, free,
+                              big=len(chain) > self.ba_kf_cap)
+            return
+        W = self.viba_kf_cap - 2 * halo
+        pos_of = {int(k): i for i, k in enumerate(chain)}
+        for _ in range(sweeps):
+            for b0 in range(0, len(chain), W):
+                block = chain[max(0, b0 - halo):b0 + W + halo]
+                free = np.array([b0 <= pos_of[int(k)] < b0 + W
+                                 for k in block])
+                free[block == chain[0]] = False   # global gauge anchor
+                if not free.any():
+                    continue
+                if free.all():
+                    free[0] = False
+                self._liba_window(block, free, big=True)
+
+    def _liba_window(self, win: np.ndarray, free_np: np.ndarray,
+                     big: bool = False) -> None:
+        """One VI-BA solve over the chain-consecutive keyframes `win`
+        with `free_np` marking the optimizable ones.  `big` selects the
+        wide VIBA kernel (viba_kf_cap keyframes — full-map inertial BA
+        with every KF free, the shape FullInertialBA needs; the block
+        fallback with frozen halos cannot remove global drift)."""
+        import jax.numpy as jnp
+        m = self.map
         n = len(win)
-        cap = self.ba_kf_cap
+        if big:
+            cap = self.viba_kf_cap
+            pt_cap, obs_cap = self.viba_pt_cap, self.viba_obs_cap
+            ln_cap, lobs_cap = self.viba_ln_cap, self.viba_lobs_cap
+            if self.viba_kernel is None:
+                self.viba_kernel = KN.make_local_inertial_ba(
+                    self.ba_K, cap, pt_cap, obs_cap,
+                    self.R_cb, self.t_cb, self.cfg.imu.gravity,
+                    n_ln=ln_cap, n_lobs=lobs_cap)
+            kernel = self.viba_kernel
+        else:
+            cap = self.ba_kf_cap
+            pt_cap, obs_cap = self.ba_pt_cap, self.ba_obs_cap
+            ln_cap, lobs_cap = self.liba_ln_cap, self.liba_lobs_cap
+            kernel = self.liba_kernel
         m.recompute_body_poses(self.Tbc)
 
         kf_pose_wb = np.tile(np.eye(3, 4, dtype=np.float32), (cap, 1, 1))
@@ -973,7 +1064,7 @@ class LocalMapper:
         kf_ba = np.zeros((cap, 3), np.float32)
         kf_ba[:n] = m.kf_bias_a[win]
         kf_free = np.zeros(cap, bool)
-        kf_free[1:n] = True     # anchor = oldest window KF
+        kf_free[:n] = free_np
 
         # preintegration chain
         preints = self._chain_preints(win)
@@ -1006,7 +1097,7 @@ class LocalMapper:
         # visual observations of window KFs
         pt_ids = np.unique(m.kf_match_pt[win])
         pt_ids = pt_ids[pt_ids >= 0]
-        pt_ids = pt_ids[m.pt_valid[pt_ids]][:self.ba_pt_cap]
+        pt_ids = pt_ids[m.pt_valid[pt_ids]][:pt_cap]
         pt_slot = np.full(m.max_pts, -1, np.int32)
         pt_slot[pt_ids] = np.arange(len(pt_ids))
         obs_kf, obs_pt, obs_uv, obs_is2 = [], [], [], []
@@ -1017,10 +1108,10 @@ class LocalMapper:
             obs_pt.append(pt_slot[match[feat]])
             obs_uv.append(self._ba_uv(m)[kfi, feat])
             obs_is2.append(1.0 / 1.2 ** (2.0 * m.kf_feat_octave[kfi, feat]))
-        obs_kf = np.concatenate(obs_kf)[:self.ba_obs_cap]
-        obs_pt = np.concatenate(obs_pt)[:self.ba_obs_cap]
-        obs_uv = np.concatenate(obs_uv)[:self.ba_obs_cap]
-        obs_is2 = np.concatenate(obs_is2)[:self.ba_obs_cap]
+        obs_kf = np.concatenate(obs_kf)[:obs_cap]
+        obs_pt = np.concatenate(obs_pt)[:obs_cap]
+        obs_uv = np.concatenate(obs_uv)[:obs_cap]
+        obs_is2 = np.concatenate(obs_is2)[:obs_cap]
         n_obs = len(obs_kf)
 
         def pad(a, capn, fill=0):
@@ -1028,30 +1119,30 @@ class LocalMapper:
             out[:len(a)] = a
             return out
 
-        pt_xyz = np.zeros((self.ba_pt_cap, 3), np.float32)
+        pt_xyz = np.zeros((pt_cap, 3), np.float32)
         pt_xyz[:len(pt_ids)] = m.pt_xyz[pt_ids]
-        pt_free = np.zeros(self.ba_pt_cap, bool)
+        pt_free = np.zeros(pt_cap, bool)
         pt_free[:len(pt_ids)] = True
 
         base_args = (
             jnp.asarray(kf_pose_wb), jnp.asarray(kf_vel), jnp.asarray(kf_bg),
             jnp.asarray(kf_ba), jnp.asarray(kf_free),
             jnp.asarray(pt_xyz), jnp.asarray(pt_free),
-            jnp.asarray(pad(obs_kf, self.ba_obs_cap)),
-            jnp.asarray(pad(obs_pt, self.ba_obs_cap)),
-            jnp.asarray(pad(obs_uv, self.ba_obs_cap)),
-            jnp.asarray(pad(np.ones(n_obs, bool), self.ba_obs_cap, False)),
-            jnp.asarray(pad(obs_is2.astype(np.float32), self.ba_obs_cap)),
+            jnp.asarray(pad(obs_kf, obs_cap)),
+            jnp.asarray(pad(obs_pt, obs_cap)),
+            jnp.asarray(pad(obs_uv, obs_cap)),
+            jnp.asarray(pad(np.ones(n_obs, bool), obs_cap, False)),
+            jnp.asarray(pad(obs_is2.astype(np.float32), obs_cap)),
             stack, infos, jnp.asarray(edge_valid),
             jnp.asarray(rw_g), jnp.asarray(rw_a))
         ln_ids = np.zeros(0, np.int32)
-        if self.liba_ln_cap > 0:
+        if ln_cap > 0:
             # line landmarks of the window (FullInertialBAwithLine
             # parity); only multi-view-confirmed lines (see local_ba)
             ln_ids = np.unique(m.kf_match_ln[win])
             ln_ids = ln_ids[ln_ids >= 0]
             ln_ids = ln_ids[m.ln_valid[ln_ids]]
-            ln_ids = ln_ids[m.ln_n_obs[ln_ids] >= 3][:self.liba_ln_cap]
+            ln_ids = ln_ids[m.ln_n_obs[ln_ids] >= 3][:ln_cap]
             ln_slot = np.full(m.max_lines, -1, np.int32)
             ln_slot[ln_ids] = np.arange(len(ln_ids))
             lobs_kf, lobs_ln, lobs_eq = [], [], []
@@ -1070,29 +1161,29 @@ class LocalMapper:
                                                  keepdims=True), 1e-9)
                 lobs_eq.append(leq.astype(np.float32))
             if lobs_kf:
-                lobs_kf = np.concatenate(lobs_kf)[:self.liba_lobs_cap]
-                lobs_ln = np.concatenate(lobs_ln)[:self.liba_lobs_cap]
-                lobs_eq = np.concatenate(lobs_eq)[:self.liba_lobs_cap]
+                lobs_kf = np.concatenate(lobs_kf)[:lobs_cap]
+                lobs_ln = np.concatenate(lobs_ln)[:lobs_cap]
+                lobs_eq = np.concatenate(lobs_eq)[:lobs_cap]
             else:
                 lobs_kf = np.zeros(0, np.int32)
                 lobs_ln = np.zeros(0, np.int32)
                 lobs_eq = np.zeros((0, 3), np.float32)
-            ln_ep6 = np.zeros((self.liba_ln_cap, 6), np.float32)
+            ln_ep6 = np.zeros((ln_cap, 6), np.float32)
             ln_ep6[:len(ln_ids)] = m.ln_ep[ln_ids]
-            ln_free = np.zeros(self.liba_ln_cap, bool)
+            ln_free = np.zeros(ln_cap, bool)
             ln_free[:len(ln_ids)] = True
             (pose_out, vel_out, bg_out, ba_out, pt_out, inlier,
-             ln_out) = self.liba_kernel(
+             ln_out) = kernel(
                 *base_args,
                 jnp.asarray(ln_ep6), jnp.asarray(ln_free),
-                jnp.asarray(pad(lobs_kf, self.liba_lobs_cap)),
-                jnp.asarray(pad(lobs_ln, self.liba_lobs_cap)),
-                jnp.asarray(pad(lobs_eq, self.liba_lobs_cap)),
+                jnp.asarray(pad(lobs_kf, lobs_cap)),
+                jnp.asarray(pad(lobs_ln, lobs_cap)),
+                jnp.asarray(pad(lobs_eq, lobs_cap)),
                 jnp.asarray(pad(np.ones(len(lobs_kf), bool),
-                                self.liba_lobs_cap, False)))
+                                lobs_cap, False)))
         else:
             (pose_out, vel_out, bg_out, ba_out, pt_out,
-             inlier) = self.liba_kernel(*base_args)
+             inlier) = kernel(*base_args)
 
         # finite guards: a degenerate window (few inliers after chi2
         # masking) can blow up the solve; never write non-finite state
@@ -1113,7 +1204,7 @@ class LocalMapper:
         pt_np = np.asarray(pt_out)[:len(pt_ids)]
         okp = np.isfinite(pt_np).all(1)
         m.pt_xyz[pt_ids[okp]] = pt_np[okp]
-        if self.liba_ln_cap > 0 and len(ln_ids):
+        if ln_cap > 0 and len(ln_ids):
             ln_new = np.asarray(ln_out)[:len(ln_ids)]
             okl = np.all(np.isfinite(ln_new), axis=1)
             m.ln_ep[ln_ids[okl]] = ln_new[okl]

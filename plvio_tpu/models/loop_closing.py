@@ -366,7 +366,7 @@ class LoopCloser:
         # program here).  Inertial maps use FullInertialBA via the
         # mapper's inertial window kernel instead (src/Optimizer.cc:1921).
         if m.imu_initialized and self.mapper is not None:
-            self.mapper.local_inertial_ba(kf, window=m.n_kf)
+            self.mapper.full_inertial_ba()
         else:
             self.run_global_ba(fixed_kf=cand)
         m.change_index += 1

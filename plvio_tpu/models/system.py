@@ -379,6 +379,20 @@ class System:
         t.lost_count = 0
         t.imu_since_kf = []
 
+    def global_refine(self) -> None:
+        """One full-map refinement pass: full inertial BA for VI maps
+        (the reference reaches the equivalent state through its VIBA2 +
+        loop-closure GBA stages; exposed as an explicit API so offline
+        runs can consolidate before export), visual global BA
+        otherwise."""
+        with self.map_lock:
+            m = self.atlas.current
+            if self.cfg.sensor in (3, 4) and m.imu_initialized:
+                self.mapper.full_inertial_ba()
+            elif self.loop_closer is not None and m.n_kf >= 3:
+                chain = m.kf_chain()
+                self.loop_closer.run_global_ba(fixed_kf=int(chain[0]))
+
     def shutdown(self):
         """reference System::Shutdown src/System.cc:660."""
         self._stop.set()

@@ -175,19 +175,24 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256,
     labels, _ = jax.lax.scan(scan_body, labels, None, length=jump_iters)
 
     # ---- per-component aggregation ------------------------------------
+    # ONE row-scatter for all first-moment sums and one for the central
+    # second moments (separate scalar scatter-adds serialize on TPU and
+    # were the second-largest cost of the detector after the sweeps)
     lbl = jnp.clip(labels, 0, C)           # component id in [0,C]
     wgt = jnp.where(atom & (labels < C), wsum, 0.0)
-    seg = jnp.zeros(C + 1, jnp.float32)
-    s_w = seg.at[lbl].add(wgt)
-    s_x = seg.at[lbl].add(wgt * cx)
-    s_y = seg.at[lbl].add(wgt * cy)
-    s_n = seg.at[lbl].add(jnp.where(wgt > 0, 1.0, 0.0))
+    occ = jnp.where(wgt > 0, 1.0, 0.0)
+    pay1 = jnp.stack([wgt, wgt * cx, wgt * cy, occ], -1)       # [C,4]
+    agg1 = jnp.zeros((C + 1, 4), jnp.float32).at[lbl].add(pay1)
+    s_w, s_x, s_y, s_n = agg1[:, 0], agg1[:, 1], agg1[:, 2], agg1[:, 3]
     mx = s_x / jnp.maximum(s_w, 1e-6)
     my = s_y / jnp.maximum(s_w, 1e-6)
     # direction from aggregated structure tensors of member cells
-    s_xx = seg.at[lbl].add(jnp.where(wgt > 0, wgt * (cx - mx[lbl]) ** 2, 0.0))
-    s_xy = seg.at[lbl].add(jnp.where(wgt > 0, wgt * (cx - mx[lbl]) * (cy - my[lbl]), 0.0))
-    s_yy = seg.at[lbl].add(jnp.where(wgt > 0, wgt * (cy - my[lbl]) ** 2, 0.0))
+    ex = cx - mx[lbl]
+    ey = cy - my[lbl]
+    pay2 = jnp.stack([wgt * ex * ex, wgt * ex * ey, wgt * ey * ey],
+                     -1) * occ[:, None]                        # [C,3]
+    agg2 = jnp.zeros((C + 1, 3), jnp.float32).at[lbl].add(pay2)
+    s_xx, s_xy, s_yy = agg2[:, 0], agg2[:, 1], agg2[:, 2]
     tr2 = s_xx + s_yy
     disc2 = jnp.sqrt(jnp.maximum(tr2 * tr2 / 4 - (s_xx * s_yy - s_xy ** 2), 0.0))
     lam1 = tr2 / 2 + disc2

@@ -81,8 +81,14 @@ def main(duration: float = 60.0):
                   f"kf={m.n_kf} pts={m.n_pt} lns={int(m.ln_valid.sum())} "
                   f"({el:.0f}s)")
 
-    est = slam.trajectory()
     q = np.asarray(lie.rot_to_quat(jnp.asarray(traj.R_wb, jnp.float32)))
+    gt_pre = TIO.Trajectory(traj.timestamps, traj.p_wb, q)
+    ate_pre = TIO.ate_rmse(slam.trajectory(), gt_pre, with_scale=False)
+    # consolidate before export: full inertial BA over the whole map
+    # (the state the reference reaches via its VIBA2 + loop-GBA stages)
+    slam.global_refine()
+    est = slam.trajectory()
+    print(f"ATE SE3 before final refine: {ate_pre:.4f} m")
     gt = TIO.Trajectory(traj.timestamps, traj.p_wb, q)
     ate_sim3 = TIO.ate_rmse(est, gt, with_scale=True)
     ate_se3 = TIO.ate_rmse(est, gt, with_scale=False)
