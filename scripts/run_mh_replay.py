@@ -109,9 +109,9 @@ def main(duration: float = 60.0):
     slam.save_keyframe_trajectory("/tmp/mh_KeyFrameTrajectory.txt")
 
     # append to RESULTS.md
-    row = (f"| MH-replay {duration:.0f}s | mono-inertial point+line | "
+    row = (f"| MH-replay {duration:.0f} s | mono-inertial point+line | "
            f"{n_ok}/{n_frames} | {m.n_kf} | {int(m.ln_valid.sum())} | "
-           f"{ate_sim3:.4f} | {ate_se3:.4f} | {track_ms:.0f} ms |\n")
+           f"{ate_sim3:.3f} | {ate_se3:.3f} |\n")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "..", "RESULTS.md")
     if not os.path.exists(path):
