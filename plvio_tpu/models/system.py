@@ -120,6 +120,12 @@ class System:
         # extraction runs OUTSIDE the lock — that is where the overlap
         # (and the reference's parallelism) lives.
         self.map_lock = threading.RLock()
+        # long-run host hygiene (CPU backend): lift vm.max_map_count if
+        # privileged so accumulated XLA JIT modules cannot exhaust it;
+        # otherwise fall back to periodic cache clearing (utils/hostmem)
+        from ..utils import hostmem as HM
+        HM.raise_map_count_limit()
+        self._frame_counter = 0
         if async_mapping:
             self._mapper_thread = threading.Thread(
                 target=self._mapping_loop, daemon=True)
@@ -132,6 +138,7 @@ class System:
         src/System.cc:560).  img: [H,W] grayscale float32/uint8;
         imu: optional (gyro [k,3], acc [k,3], dt [k]) batch of samples
         since the previous frame."""
+        self._host_hygiene()
         img_dev = jnp.asarray(img, jnp.float32)
         feats = self.extract(img_dev)
         # undistort keypoint coordinates once per frame
@@ -157,6 +164,7 @@ class System:
         depth-seeded map points."""
         from ..ops import stereo as ST
         from ..ops import matching as M2
+        self._host_hygiene()
         imgL = jnp.asarray(img_left, jnp.float32)
         imgR = jnp.asarray(img_right, jnp.float32)
         fL = self.extract(imgL)
@@ -198,6 +206,7 @@ class System:
                    imu: Optional[Sequence] = None) -> Optional[np.ndarray]:
         """RGB-D entry (reference System::TrackRGBD, src/System.cc:502):
         per-feature depth sampled from the depth image."""
+        self._host_hygiene()
         img_dev = jnp.asarray(img, jnp.float32)
         feats = self.extract(img_dev)
         und = self._undistort(feats.uv)
@@ -215,6 +224,16 @@ class System:
         with self.map_lock:
             self._apply_pending_transform()
         return pose
+
+    def _host_hygiene(self):
+        """Every 100 frames, clear the XLA JIT caches if the process is
+        about to exhaust vm.max_map_count (see utils/hostmem)."""
+        self._frame_counter += 1
+        if self._frame_counter % 100 == 0:
+            from ..utils import hostmem as HM
+            if HM.maybe_clear_jit_caches():
+                print("[hostmem] mapping count near vm.max_map_count: "
+                      "cleared XLA JIT caches", flush=True)
 
     def _extract_frame_lines(self, img_dev):
         if self.extract_lines is None:
