@@ -493,12 +493,71 @@ def make_mh_trajectory(duration: float = 60.0,
     return _eval_mh(t)
 
 
+def _eval_mh_loop(t: np.ndarray) -> SyntheticTrajectory:
+    """MH-style CLOSED CIRCUIT: stationary start + excitation wiggle,
+    then a full orbit of the hall looking outward that returns to the
+    starting view at ~t=20 s — the revisit the straight MH sweep never
+    makes, so loop closing (detection, Sim3, 4DoF graph, GBA) can be
+    exercised end-to-end on realistic imagery.  C-infinity smooth so the
+    finite-difference IMU synthesis stays consistent."""
+    t = np.asarray(t, np.float64)
+    a, b = 4.0, 1.5
+    # s(t) = integral of the smooth ramp 0.5(1+tanh((u-a)/b)):
+    # closed form keeps velocity/acceleration exact for the IMU
+    s = 0.5 * (t + b * np.log(np.cosh((t - a) / b))) \
+        - 0.5 * (0.0 + b * np.log(np.cosh(-a / b)))
+    wig = np.exp(-0.5 * ((t - 2.0) / 0.6) ** 2)
+    w_orb = 2 * np.pi / 22.0          # full circle once s(t) reaches 22
+    th = w_orb * s
+    r = 2.0
+    p = np.stack([r * np.cos(th), r * np.sin(th),
+                  -0.5 + 0.10 * np.sin(2 * np.pi * t / 11.0)], -1)
+    p[:, 0] += 0.10 * wig * np.sin(2 * np.pi * 1.9 * t)
+    p[:, 1] += 0.08 * wig * np.sin(2 * np.pi * 2.3 * t + 0.5)
+    p[:, 2] += 0.06 * wig * np.sin(2 * np.pi * 1.6 * t + 1.1)
+    # look radially outward (+ small wiggle-driven yaw/pitch for init
+    # excitation); the start view at th=0 is revisited at th=2*pi
+    yaw = th + 0.15 * wig * np.sin(2 * np.pi * 1.1 * t)
+    pitch = 0.05 * np.sin(2 * np.pi * t / 13.0) \
+        + 0.1 * wig * np.sin(2 * np.pi * 1.4 * t + 0.3)
+    look = np.stack([np.cos(yaw) * np.cos(pitch),
+                     np.sin(yaw) * np.cos(pitch),
+                     np.sin(pitch)], -1)
+    world_down = np.array([0.0, 0.0, -1.0])
+    x = np.cross(world_down, look)
+    x /= np.linalg.norm(x, axis=-1, keepdims=True)
+    y = np.cross(look, x)
+    R = np.stack([x, y, look], axis=-1)
+    dt = 1e-4
+    v = (_eval_mh_loop_pos(t + dt) - _eval_mh_loop_pos(t - dt)) / (2 * dt)
+    return SyntheticTrajectory(timestamps=np.asarray(t, np.float64),
+                               R_wb=R, p_wb=p, v_wb=v)
+
+
+def _eval_mh_loop_pos(t: np.ndarray) -> np.ndarray:
+    """Position-only twin of _eval_mh_loop (for finite-diff velocity)."""
+    t = np.asarray(t, np.float64)
+    a, b = 4.0, 1.5
+    s = 0.5 * (t + b * np.log(np.cosh((t - a) / b))) \
+        - 0.5 * (0.0 + b * np.log(np.cosh(-a / b)))
+    wig = np.exp(-0.5 * ((t - 2.0) / 0.6) ** 2)
+    th = (2 * np.pi / 22.0) * s
+    r = 2.0
+    p = np.stack([r * np.cos(th), r * np.sin(th),
+                  -0.5 + 0.10 * np.sin(2 * np.pi * t / 11.0)], -1)
+    p[:, 0] += 0.10 * wig * np.sin(2 * np.pi * 1.9 * t)
+    p[:, 1] += 0.08 * wig * np.sin(2 * np.pi * 2.3 * t + 0.5)
+    p[:, 2] += 0.06 * wig * np.sin(2 * np.pi * 1.6 * t + 1.1)
+    return p
+
+
 def synthesize_imu_mh(rng: np.random.Generator, duration: float,
                       imu_rate: float = 200.0,
                       noise_gyro: float = 1.7e-4, noise_acc: float = 2.0e-3,
                       walk_gyro: float = 2.0e-5, walk_acc: float = 3.0e-3,
                       bias_gyro_mag: float = 0.003,
-                      bias_acc_mag: float = 0.05) -> SyntheticImu:
+                      bias_acc_mag: float = 0.05,
+                      eval_fn=None) -> SyntheticImu:
     """200 Hz IMU along the MH path with EuRoC-class noise AND bias
     random walk (the reference's preintegration models the walk via its
     bias-jacobian correction + RW edges; a constant-bias synthetic lets
@@ -506,11 +565,12 @@ def synthesize_imu_mh(rng: np.random.Generator, duration: float,
     from ..utils import lie
     import jax.numpy as jnp
 
+    ev = eval_fn or _eval_mh
     dt = 1.0 / imu_rate
     t = np.arange(dt, duration - dt, dt)
-    fine_m = _eval_mh(t - dt)
-    fine_0 = _eval_mh(t)
-    fine_p = _eval_mh(t + dt)
+    fine_m = ev(t - dt)
+    fine_0 = ev(t)
+    fine_p = ev(t + dt)
     n = len(t)
     dR = np.einsum("nij,nik->njk", fine_m.R_wb, fine_p.R_wb)
     w_body = np.asarray(lie.so3_log(jnp.asarray(dR, jnp.float32)),

@@ -1004,11 +1004,19 @@ def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
     with_lines = n_ln > 0 and n_lobs > 0
 
     @jax.jit
-    def run(kf_pose_wb, kf_vel, kf_bg, kf_ba, kf_free, pt_xyz, pt_free,
+    def run(kf_pose_wb, kf_vel, kf_bg, kf_ba, kf_free, kf_free_bias,
+            pt_xyz, pt_free,
             obs_kf, obs_pt, obs_uv, obs_valid, obs_is2,
             pre_const, imu_info, edge_valid, rw_info_g, rw_info_a,
             ln_ep=None, ln_free=None, lobs_kf=None, lobs_ln=None,
             lobs_eq=None, lobs_valid=None):
+        """kf_free_bias frees the bias states independently of the
+        pose/velocity mask: the full-map VIBA pulses free EVERY bias
+        (including the gauge anchor's) so a mis-estimated init bias can
+        be corrected — the tight bias random-walk edges otherwise chain
+        the whole map to the frozen anchor value forever (reference
+        FullInertialBA with bInit re-estimates a shared bias under soft
+        priors, src/Optimizer.cc:1921)."""
         mask = obs_valid
         states = {"pose": kf_pose_wb, "vel": kf_vel,
                   "bg": kf_bg, "ba": kf_ba, "pt": pt_xyz}
@@ -1017,8 +1025,8 @@ def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
         if with_lines:
             states["ln"] = ln_ep
             lm_free["ln"] = ln_free
-        free = {"pose": kf_free, "vel": kf_free, "bg": kf_free,
-                "ba": kf_free}
+        free = {"pose": kf_free, "vel": kf_free, "bg": kf_free_bias,
+                "ba": kf_free_bias}
         idx1 = jnp.arange(n_kf - 1, dtype=jnp.int32)
         idx2 = idx1 + 1
         for _ in range(rounds):

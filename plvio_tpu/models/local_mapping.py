@@ -152,9 +152,11 @@ class LocalMapper:
         Returns the list of (culled_kf, pose_cw, timestamp) so the caller
         can re-anchor any state pointing at removed keyframes."""
         self.cull_points()
+        self.cull_points_pressure(kf)
         self.create_new_points(kf)
         if self.use_lines:
             self.cull_lines()
+            self.cull_lines_pressure(kf)
             self.create_new_lines(kf)
         self.search_in_neighbors(kf)
         self.update_point_stats(kf)
@@ -329,6 +331,37 @@ class LocalMapper:
         if bad.any():
             m.remove_point(batch[bad])
 
+    def cull_points_pressure(self, kf: int) -> None:
+        """Capacity-pressure landmark culling: the fixed-shape point
+        store must never fill — alloc_points silently returns fewer
+        slots and triangulation starves, which loses tracking as the
+        camera enters unmapped territory (observed on the 28 s circuit
+        at 16384/16384).  Mirrors the keyframe capacity sweep: when the
+        store nears capacity, remove the weakest landmarks (fewest
+        observations, worst found/visible ratio) outside the current
+        covisibility window."""
+        m = self.map
+        if m.n_pt <= 0.92 * m.max_pts:
+            return
+        target = int(0.8 * m.max_pts)
+        win = np.unique(np.concatenate(
+            [[kf], m.covisible_kfs(kf, n=12, min_weight=5)]))
+        prot = np.unique(m.kf_match_pt[win])
+        prot = prot[prot >= 0]
+        protected = np.zeros(m.max_pts, bool)
+        protected[prot] = True
+        ids = np.nonzero(m.pt_valid & ~protected)[0]
+        if len(ids) == 0:
+            return
+        ratio = m.pt_found[ids] / np.maximum(m.pt_visible[ids], 1)
+        weakness = m.pt_n_obs[ids].astype(np.float64) + ratio
+        order = np.argsort(weakness)
+        n_remove = min(m.n_pt - target, len(ids))
+        if n_remove > 0:
+            print(f"[map] point store at {m.n_pt}/{m.max_pts}: culling "
+                  f"{n_remove} weakest landmarks", flush=True)
+            m.remove_point(ids[order[:n_remove]])
+
     # ------------------------------------------------------------------
     def create_new_points(self, kf: int) -> None:
         """Triangulate unmatched features of `kf` against its best
@@ -410,6 +443,28 @@ class LocalMapper:
         bad = (ratio < 0.25) | (m.ln_n_obs[batch] < 2)
         if bad.any():
             m.remove_line(batch[bad])
+
+    def cull_lines_pressure(self, kf: int) -> None:
+        """Line-store twin of cull_points_pressure."""
+        m = self.map
+        if m.n_ln <= 0.92 * m.max_lines:
+            return
+        target = int(0.8 * m.max_lines)
+        win = np.unique(np.concatenate(
+            [[kf], m.covisible_kfs(kf, n=12, min_weight=5)]))
+        prot = np.unique(m.kf_match_ln[win])
+        prot = prot[prot >= 0]
+        protected = np.zeros(m.max_lines, bool)
+        protected[prot] = True
+        ids = np.nonzero(m.ln_valid & ~protected)[0]
+        if len(ids) == 0:
+            return
+        ratio = m.ln_found[ids] / np.maximum(m.ln_visible[ids], 1)
+        weakness = m.ln_n_obs[ids].astype(np.float64) + ratio
+        order = np.argsort(weakness)
+        n_remove = min(m.n_ln - target, len(ids))
+        if n_remove > 0:
+            m.remove_line(ids[order[:n_remove]])
 
     def create_new_lines(self, kf: int) -> None:
         """Triangulate unmatched line observations of `kf` against the
@@ -1012,7 +1067,8 @@ class LocalMapper:
             free = np.zeros(len(chain), bool)
             free[1:] = True
             self._liba_window(chain, free,
-                              big=len(chain) > self.ba_kf_cap)
+                              big=len(chain) > self.ba_kf_cap,
+                              free_all_biases=True)
             return
         W = self.viba_kf_cap - 2 * halo
         pos_of = {int(k): i for i, k in enumerate(chain)}
@@ -1026,10 +1082,12 @@ class LocalMapper:
                     continue
                 if free.all():
                     free[0] = False
-                self._liba_window(block, free, big=True)
+                self._liba_window(block, free, big=True,
+                                  free_all_biases=True)
 
     def _liba_window(self, win: np.ndarray, free_np: np.ndarray,
-                     big: bool = False) -> None:
+                     big: bool = False,
+                     free_all_biases: bool = False) -> None:
         """One VI-BA solve over the chain-consecutive keyframes `win`
         with `free_np` marking the optimizable ones.  `big` selects the
         wide VIBA kernel (viba_kf_cap keyframes — full-map inertial BA
@@ -1065,6 +1123,11 @@ class LocalMapper:
         kf_ba[:n] = m.kf_bias_a[win]
         kf_free = np.zeros(cap, bool)
         kf_free[:n] = free_np
+        # bias states: the VIBA pulses free every bias (incl. the
+        # anchor's) so the init bias estimate stays correctable — see
+        # the kernel docstring
+        kf_free_bias = np.zeros(cap, bool)
+        kf_free_bias[:n] = True if free_all_biases else free_np
 
         # preintegration chain
         preints = self._chain_preints(win)
@@ -1127,6 +1190,7 @@ class LocalMapper:
         base_args = (
             jnp.asarray(kf_pose_wb), jnp.asarray(kf_vel), jnp.asarray(kf_bg),
             jnp.asarray(kf_ba), jnp.asarray(kf_free),
+            jnp.asarray(kf_free_bias),
             jnp.asarray(pt_xyz), jnp.asarray(pt_free),
             jnp.asarray(pad(obs_kf, obs_cap)),
             jnp.asarray(pad(obs_pt, obs_cap)),
@@ -1198,8 +1262,9 @@ class LocalMapper:
         free = kf_free[:n] & okf
         m.kf_pose_wb[win[free]] = pose_np[free]
         m.kf_vel[win[free]] = vel_np[free]
-        m.kf_bias_g[win[free]] = bg_np[free]
-        m.kf_bias_a[win[free]] = ba_np[free]
+        free_b = kf_free_bias[:n] & okf
+        m.kf_bias_g[win[free_b]] = bg_np[free_b]
+        m.kf_bias_a[win[free_b]] = ba_np[free_b]
         m.set_cam_poses_from_body(win[free], self.Tbc)
         pt_np = np.asarray(pt_out)[:len(pt_ids)]
         okp = np.isfinite(pt_np).all(1)
