@@ -168,7 +168,13 @@ class LocalMapper:
             # periodic scale/gravity refinement pulses until the scale has
             # converged (reference ScaleRefinement schedule,
             # src/LocalMapping.cc:404-449)
-            if not self.map.imu_ba2 and self._kf_since_init % 3 == 0:
+            if (not self.map.imu_ba2 and self._kf_since_init % 3 == 0) \
+                    or self._kf_since_init % 10 == 0:
+                # pulses CONTINUE after convergence at a slower cadence:
+                # monocular scale creeps as new regions triangulate
+                # (observed |v| inflating 7x over the hall circuit once
+                # the pulses stopped; reference keeps ScaleRefinement
+                # firing at 25/50/75 s, src/LocalMapping.cc:404-449)
                 self.refine_scale()
             # VIBA maturity pulses: full-map inertial BA at ~5 s and
             # ~15 s after IMU init (reference VIBA1/VIBA2 stages of
