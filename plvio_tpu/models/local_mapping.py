@@ -907,6 +907,13 @@ class LocalMapper:
             if abs(s - 1.0) < 1e-3:
                 self.map.imu_ba2 = True   # scale converged
             return
+        # after convergence, only act on CLEAR drift: the estimator is
+        # noisy at a few percent (velocities are held fixed) and chasing
+        # small corrections destabilizes a healthy map — the post-ba2
+        # pulses exist to catch the large monocular creep (>20% on the
+        # hall circuit), not to fine-tune
+        if self.map.imu_ba2 and abs(s - 1.0) < 0.05:
+            return
         R_gw = np.asarray(Rwg).T
         m.apply_scaled_rotation(R_gw, s, self.Tbc)
         self._push_transform(R_gw, s)
@@ -1072,9 +1079,16 @@ class LocalMapper:
         if len(chain) <= self.viba_kf_cap:
             free = np.zeros(len(chain), bool)
             free[1:] = True
+            # NOTE: free_all_biases=True would let a mis-estimated
+            # init bias be corrected (FullInertialBA-bInit analog;
+            # it rescued the hall-circuit run's 0.018 rad/s bias) but
+            # measured as destabilizing when the init bias is GOOD
+            # (25 s sweep lost tracking at t~14.5 s) — the reference
+            # stages this with priorG/priorA soft priors that relax
+            # across VIBA1/VIBA2, which is the right next step.  Until
+            # that staging exists, keep biases anchored by default.
             self._liba_window(chain, free,
-                              big=len(chain) > self.ba_kf_cap,
-                              free_all_biases=True)
+                              big=len(chain) > self.ba_kf_cap)
             return
         W = self.viba_kf_cap - 2 * halo
         pos_of = {int(k): i for i, k in enumerate(chain)}
@@ -1088,8 +1102,7 @@ class LocalMapper:
                     continue
                 if free.all():
                     free[0] = False
-                self._liba_window(block, free, big=True,
-                                  free_all_biases=True)
+                self._liba_window(block, free, big=True)
 
     def _liba_window(self, win: np.ndarray, free_np: np.ndarray,
                      big: bool = False,
