@@ -40,6 +40,7 @@ from ..solver.residuals import PinholeK
 from ..utils import lie
 
 CHI2_MONO = 5.991
+CHI2_STEREO = 7.815           # 3-DoF 95% gate (reference chi2 7.815)
 
 
 class TrackResult(NamedTuple):
@@ -178,24 +179,38 @@ def fast_pose_opt(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
 def fast_pose_opt_pl(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
                      l_obs, Xs, Xe, valid_l, is2_l,
                      rounds: int = 4, iters: int = 3,
-                     w_line: float = 1.0):
+                     w_line: float = 1.0, ur=None, bf: float = 0.0):
     """Fused point+line pose-only IRLS with closed-form Jacobians
     (reference PoseOptimizationWithLine, src/Optimizer.cc:2736: point
     reprojection edges + per-line two endpoint-to-line residuals).
 
     l_obs: [L,3] observed normalized line equations; Xs/Xe: [L,3] map-line
-    3D endpoints.  Returns (pose, inlier_pt, inlier_ln, n_inliers).
+    3D endpoints.  When `ur` [N] is given (stereo/RGB-D, bf > 0), points
+    with ur > 0 gain the third stereo residual u_R = u - bf/z (reference
+    EdgeStereoSE3ProjectXYZOnlyPose alongside the line edges in
+    PoseOptimizationWithLine's stereo branch, src/Optimizer.cc:2736ff);
+    ur <= 0 stays mono.  Returns (pose, inlier_pt, inlier_ln, n_inliers).
     """
     delta = float(np.sqrt(CHI2_MONO))
     total_iters = rounds * iters
+    stereo = ur is not None
+    if stereo:
+        has_r = (ur > 0).astype(jnp.float32)
+        chi2_pt_th = jnp.where(ur > 0, CHI2_STEREO, CHI2_MONO)
+    else:
+        chi2_pt_th = CHI2_MONO
 
     def point_part(Rt):
         R, t = Rt[:, :3], Rt[:, 3]
         pc = X @ R.T + t
         z = jnp.maximum(pc[:, 2], 1e-4)
-        pred = jnp.stack([K.fx * pc[:, 0] / z + K.cx,
-                          K.fy * pc[:, 1] / z + K.cy], -1)
-        r = pred - uv
+        u_p = K.fx * pc[:, 0] / z + K.cx
+        v_p = K.fy * pc[:, 1] / z + K.cy
+        if stereo:
+            r = jnp.stack([u_p - uv[:, 0], v_p - uv[:, 1],
+                           (u_p - bf / z - ur) * has_r], -1)
+        else:
+            r = jnp.stack([u_p - uv[:, 0], v_p - uv[:, 1]], -1)
         chi2 = jnp.sum(r * r, -1) * inv_sigma2
         return r, pc, chi2
 
@@ -234,7 +249,7 @@ def fast_pose_opt_pl(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
         # miscompile on axon)
         round_start = ((i % iters) == 0) & (i > 0)
         new_gate_p = jnp.where(round_start,
-                               (valid & (chi2 < CHI2_MONO)).astype(jnp.float32),
+                               (valid & (chi2 < chi2_pt_th)).astype(jnp.float32),
                                gate_p)
         new_gate_l = jnp.where(round_start,
                                (valid_l & (chi2_l < CHI2_MONO)).astype(jnp.float32),
@@ -247,7 +262,14 @@ def fast_pose_opt_pl(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
         zero = jnp.zeros_like(z)
         ju = jnp.stack([K.fx * inv_z, zero, -K.fx * pc[:, 0] * inv_z ** 2], -1)
         jv = jnp.stack([zero, K.fy * inv_z, -K.fy * pc[:, 1] * inv_z ** 2], -1)
-        Jp = jnp.stack([ju, jv], 1)
+        if stereo:
+            # d(u - bf/z)/dpc = ju + bf/z^2 * e_z, masked to stereo rows
+            jur = jnp.stack([K.fx * inv_z, zero,
+                             (-K.fx * pc[:, 0] + bf) * inv_z ** 2], -1) \
+                * has_r[:, None]
+            Jp = jnp.stack([ju, jv, jur], 1)
+        else:
+            Jp = jnp.stack([ju, jv], 1)
         hx = jnp.stack([
             jnp.stack([zero, -pc[:, 2], pc[:, 1]], -1),
             jnp.stack([pc[:, 2], zero, -pc[:, 0]], -1),
@@ -282,13 +304,25 @@ def fast_pose_opt_pl(K: PinholeK, pose0, uv, X, valid, inv_sigma2,
         jnp.arange(total_iters))
     _, _, chi2 = point_part(Rt)
     chi2_l, _ = line_chi2(Rt)
-    inl_p = valid & (chi2 < CHI2_MONO)
+    inl_p = valid & (chi2 < chi2_pt_th)
     inl_l = valid_l & (chi2_l < CHI2_MONO)
     return Rt, inl_p, inl_l, jnp.sum(inl_p) + jnp.sum(inl_l)
 
 
 def make_fast_pose_optimizer_pl(K: PinholeK, cap_pt: int, cap_ln: int,
-                                rounds: int = 4, iters: int = 3):
+                                rounds: int = 4, iters: int = 3,
+                                bf: float = 0.0):
+    """bf > 0 builds the stereo/RGB-D variant: run() gains a trailing
+    `ur` [cap_pt] argument (u_right; <= 0 marks mono points)."""
+    if bf > 0:
+        @jax.jit
+        def run(pose0, uv, X, valid, is2, l_obs, Xs, Xe, valid_l, is2_l,
+                ur):
+            return fast_pose_opt_pl(K, pose0, uv, X, valid, is2,
+                                    l_obs, Xs, Xe, valid_l, is2_l,
+                                    rounds, iters, ur=ur, bf=bf)
+        return run
+
     @jax.jit
     def run(pose0, uv, X, valid, is2, l_obs, Xs, Xe, valid_l, is2_l):
         return fast_pose_opt_pl(K, pose0, uv, X, valid, is2,
@@ -487,6 +521,87 @@ def make_pose_graph_optimizer(n_kf: int, n_edges: int, iters: int = 15,
     return run
 
 
+def make_sim3_reproj_optimizer(K: PinholeK, cap: int, rounds: int = 3,
+                               iters: int = 8, fix_scale: bool = False):
+    """Reprojection-based refinement of a welding similarity (reference
+    Optimizer::OptimizeSim3, src/Optimizer.cc:8462): the Sim3 S (world of
+    the current map -> world of the loop side, X2 ~ s R X1 + t) is
+    optimized on 2D reprojection residuals in BOTH images with chi2
+    gating — stronger than 3D-3D alignment when the geometry on one side
+    is poorly triangulated (the 2D observation is always exact).
+
+    Forward edges: current-side points X1 projected into the loop-side
+    keyframe under T_cand . S.  Backward edges: loop-side points X2
+    projected into the current keyframe under T_kf . S^{-1} (reference
+    builds EdgeSim3ProjectXYZ / EdgeInverseSim3ProjectXYZ pairs).
+
+    run(S13 [13] (R9, t3, s), X1 [cap,3], uv2 [cap,2], valid_f,
+        is2_f [cap], X2 [cap,3], uv1 [cap,2], valid_b, is2_b [cap],
+        pose_kf [3,4], pose_cand [3,4])
+      -> (S13, inlier_f, inlier_b, n_inliers)
+    """
+    CHI2_SIM3 = 9.21      # reference th2=10 on huber'd edges; 2-DoF 99%
+    dof_mask = np.ones(7, np.float32)
+    if fix_scale:
+        dof_mask[6] = 0.0
+    dmask = jnp.asarray(dof_mask)
+
+    def retract(S, d):
+        return RES.retract_sim3(S, d * dmask[None])
+
+    def fwd(blocks, deltas, const):
+        (S,) = blocks
+        (d,) = deltas
+        Rw, tw, sw = RES.retract_sim3_single(S, d * dmask)
+        X2p = sw * (Rw @ const["X"]) + tw
+        pc = const["P"][:, :3] @ X2p + const["P"][:, 3]
+        return _project_pinhole(pc) - const["uv"]
+
+    def bwd(blocks, deltas, const):
+        (S,) = blocks
+        (d,) = deltas
+        Rw, tw, sw = RES.retract_sim3_single(S, d * dmask)
+        X1p = (Rw.T @ (const["X"] - tw)) / jnp.maximum(sw, 1e-9)
+        pc = const["P"][:, :3] @ X1p + const["P"][:, 3]
+        return _project_pinhole(pc) - const["uv"]
+
+    def _project_pinhole(pc):
+        z = jnp.maximum(pc[2], 1e-4)
+        return jnp.stack([K.fx * pc[0] / z + K.cx,
+                          K.fy * pc[1] / z + K.cy])
+
+    @jax.jit
+    def run(S13, X1, uv2, valid_f, is2_f, X2, uv1, valid_b, is2_b,
+            pose_kf, pose_cand):
+        Pk = jnp.broadcast_to(pose_kf, (cap, 3, 4))
+        Pc = jnp.broadcast_to(pose_cand, (cap, 3, 4))
+        mask_f, mask_b = valid_f, valid_b
+        states = {"sim3": S13[None]}
+        z_idx = jnp.zeros(cap, jnp.int32)
+        for _ in range(rounds):
+            prob = E.Problem()
+            prob.add_dense("sim3", 1, 7, retract)
+            prob.add_term(E.Term(
+                name="fwd", res_fn=fwd, rdim=2,
+                dense_refs=[("sim3", z_idx)],
+                const={"X": X1, "uv": uv2, "P": Pc},
+                mask=mask_f, info=is2_f,
+                robust_delta=float(np.sqrt(CHI2_SIM3))))
+            prob.add_term(E.Term(
+                name="bwd", res_fn=bwd, rdim=2,
+                dense_refs=[("sim3", z_idx)],
+                const={"X": X2, "uv": uv1, "P": Pk},
+                mask=mask_b, info=is2_b,
+                robust_delta=float(np.sqrt(CHI2_SIM3))))
+            states, _, chi2s = E.optimize(prob, states, iters=iters)
+            mask_f = valid_f & (chi2s["fwd"] < CHI2_SIM3)
+            mask_b = valid_b & (chi2s["bwd"] < CHI2_SIM3)
+        return (states["sim3"][0], mask_f, mask_b,
+                jnp.sum(mask_f) + jnp.sum(mask_b))
+
+    return run
+
+
 def make_line_pair_matcher(n_line_feat: int):
     """Match line observations between two keyframes: LBD Hamming NN
     gated by angle consistency + midpoint window (reference
@@ -582,7 +697,6 @@ def make_pose_optimizer_stereo(K: PinholeK, bf: float, cap: int,
     (pose0 [3,4], uvr [cap,3] (u, v, u_right; u_right<0 marks mono),
      X [cap,3], valid [cap], is2 [cap]) -> (pose, inlier, n_inliers)
     """
-    CHI2_STEREO = 7.815           # 3-DoF 95% gate (reference chi2 7.815)
     res_st = RES.make_stereo_reproj_fixed(K, bf)
     res_mono = RES.make_point_reproj_fixed(K)
 
@@ -795,70 +909,153 @@ def make_triangulator(K: PinholeK, cap: int):
 
 
 def make_vi_pose_optimizer(K: PinholeK, cap: int, Rcb, tcb, gravity: float,
-                           rounds: int = 4, iters: int = 8):
+                           rounds: int = 4, iters: int = 8, bf: float = 0.0):
     """Visual-inertial pose-only optimization of the current frame's
-    (pose_wb, v, bg, ba) against the last keyframe's fixed state
-    (reference PoseInertialOptimizationLastKeyFrame,
-    src/Optimizer.cc:13585): monocular reprojection edges through the
+    (pose_wb, v, bg, ba) against the previous frame's state (reference
+    PoseInertialOptimizationLastFrame / LastKeyFrame,
+    src/Optimizer.cc:13980 / :13585): reprojection edges through the
     body extrinsic + one 9-dim inertial edge + bias random-walk pulls.
 
-    run(pose_wb0 [3,4], v0, bg0, ba0, uv [cap,2], X [cap,3], valid, is2,
-        prev_pose_wb, prev_v, preint_const dict, imu_info [9,9],
-        bias_info [6]) -> (pose_wb, v, bg, ba, inlier, n_inliers)
+    Two flavors in one kernel, switched by `have_prior`:
+      * have_prior=True  — LastFrame: the previous state is FREE and held
+        by a 15-DoF marginalization prior (reference ConstraintPoseImu +
+        EdgePriorPoseImu, include/G2oTypes.h:848/893) carried from its own
+        solve; after optimizing, the previous state is marginalized out of
+        the joint 30x30 Hessian (reference Optimizer.cc:14399
+        `Marginalize(H,0,14)`) to produce the NEXT frame's 15x15 prior.
+      * have_prior=False — LastKeyFrame: the previous state is hard-fixed;
+        the returned prior is the current frame's own Hessian block
+        (reference :13931-13977 sums the frame-side edge Hessians).
+
+    When bf > 0, features with uvr[:,2] >= 0 use the 3-dim stereo residual
+    (reference EdgeStereoOnlyPose joins the inertial pose opt for
+    mvuRight>=0, src/Optimizer.cc:13659ff); uvr[:,2] < 0 stays mono.
+
+    run(pose_wb0 [3,4], v0, bg0, ba0, uvr [cap,3], X [cap,3], valid, is2,
+        prev_pose_wb, prev_v, pre_const dict, imu_info [9,9],
+        bias_rw_info [6], prior_const {R0,p0,v0,bg0,ba0},
+        prior_info [15,15], have_prior bool)
+      -> (pose_wb, v, bg, ba, inlier, n_inliers, H15 [15,15])
     """
     Rcb = jnp.asarray(Rcb, jnp.float32)
     tcb = jnp.asarray(tcb, jnp.float32)
     reproj_fn = RES.make_point_reproj_body(K, Rcb, tcb)
+    stereo_fn = (RES.make_stereo_reproj_body(K, bf, Rcb, tcb)
+                 if bf > 0 else None)
     inertial_fn = RES.make_inertial(gravity)
+    prior_fn = RES.make_prior15()
+    eye15 = jnp.eye(15, dtype=jnp.float32)
+
+    def build(states, mask_m, mask_s, consts):
+        (uvr, X, is2, pre_const, imu_info, bias_rw_info,
+         prior_const, prior_info_safe, have_prior) = consts
+        z1 = jnp.zeros(1, jnp.int32)
+        o1 = jnp.ones(1, jnp.int32)
+        prob = E.Problem()
+        prob.add_dense("pose", 2, 6, RES.retract_pose_wb)
+        prob.add_dense("vel", 2, 3, RES.retract_additive)
+        prob.add_dense("bg", 2, 3, RES.retract_additive)
+        prob.add_dense("ba", 2, 3, RES.retract_additive)
+        prob.add_term(E.Term(
+            name="reproj", res_fn=reproj_fn, rdim=2,
+            dense_refs=[("pose", jnp.ones(cap, jnp.int32))],
+            const={"uv": uvr[:, :2], "X": X}, mask=mask_m, info=is2,
+            robust_delta=float(np.sqrt(CHI2_MONO))))
+        if stereo_fn is not None:
+            prob.add_term(E.Term(
+                name="stereo", res_fn=stereo_fn, rdim=3,
+                dense_refs=[("pose", jnp.ones(cap, jnp.int32))],
+                const={"uvr": uvr, "X": X}, mask=mask_s, info=is2,
+                robust_delta=float(np.sqrt(CHI2_STEREO))))
+        prob.add_term(E.Term(
+            name="inertial", res_fn=inertial_fn, rdim=9,
+            dense_refs=[("pose", z1), ("vel", z1), ("bg", o1),
+                        ("ba", o1), ("pose", o1), ("vel", o1)],
+            const=jax.tree_util.tree_map(lambda x: x[None], pre_const),
+            mask=jnp.ones(1, bool), info=imu_info[None]))
+        prob.add_term(E.Term(
+            name="bg_rw", res_fn=RES.bias_rw, rdim=3,
+            dense_refs=[("bg", z1), ("bg", o1)], const=None,
+            mask=jnp.ones(1, bool), info=bias_rw_info[None, :3]))
+        prob.add_term(E.Term(
+            name="ba_rw", res_fn=RES.bias_rw, rdim=3,
+            dense_refs=[("ba", z1), ("ba", o1)], const=None,
+            mask=jnp.ones(1, bool), info=bias_rw_info[None, 3:]))
+        prob.add_term(E.Term(
+            name="prior", res_fn=prior_fn, rdim=15,
+            dense_refs=[("pose", z1), ("vel", z1), ("bg", z1), ("ba", z1)],
+            const=jax.tree_util.tree_map(lambda x: x[None], prior_const),
+            mask=have_prior[None], info=prior_info_safe[None]))
+        return prob
+
+    # dense layout (declaration order above): pose [0:12), vel [12:18),
+    # bg [18:24), ba [24:30); per-state 15-vector order = (pose6, vel3,
+    # bg3, ba3) — matching make_prior15's residual ordering
+    IDX_PREV = np.concatenate([np.arange(0, 6), np.arange(12, 15),
+                               np.arange(18, 21), np.arange(24, 27)])
+    IDX_CUR = np.concatenate([np.arange(6, 12), np.arange(15, 18),
+                              np.arange(21, 24), np.arange(27, 30)])
 
     @jax.jit
-    def run(pose_wb0, v0, bg0, ba0, uv, X, valid, is2,
-            prev_pose_wb, prev_v, pre_const, imu_info, bias_rw_info):
+    def run(pose_wb0, v0, bg0, ba0, uvr, X, valid, is2,
+            prev_pose_wb, prev_v, pre_const, imu_info, bias_rw_info,
+            prior_const, prior_info, have_prior):
         """bias_rw_info: [6] information (1/cov) anchoring (bg, ba) to the
         previous state's biases via random-walk edges (reference
         EdgeGyroRW/EdgeAccRW in PoseInertialOptimization*,
         src/Optimizer.cc:13585 — without this the per-frame biases are
         observable only through one inertial edge and drift freely)."""
-        mask = valid
+        have_prior = jnp.asarray(have_prior, bool)
+        # a garbage prior_info under have_prior=False must not poison the
+        # whitening cholesky (0*NaN = NaN kills the whole cost)
+        prior_info_safe = jnp.where(have_prior, prior_info, eye15)
+        has_r = uvr[:, 2] > 0 if stereo_fn is not None \
+            else jnp.zeros(cap, bool)
+        mask_m = valid & ~has_r
+        mask_s = valid & has_r
         states = {"pose": jnp.stack([prev_pose_wb, pose_wb0]),
                   "vel": jnp.stack([prev_v, v0]),
                   "bg": jnp.stack([bg0, bg0]), "ba": jnp.stack([ba0, ba0])}
-        free = {"pose": jnp.asarray([False, True]),
-                "vel": jnp.asarray([False, True]),
-                "bg": jnp.asarray([False, True]),
-                "ba": jnp.asarray([False, True])}
-        z1 = jnp.zeros(1, jnp.int32)
-        o1 = jnp.ones(1, jnp.int32)
+        free = {"pose": jnp.stack([have_prior, jnp.asarray(True)]),
+                "vel": jnp.stack([have_prior, jnp.asarray(True)]),
+                "bg": jnp.stack([have_prior, jnp.asarray(True)]),
+                "ba": jnp.stack([have_prior, jnp.asarray(True)])}
+        consts = (uvr, X, is2, pre_const, imu_info, bias_rw_info,
+                  prior_const, prior_info_safe, have_prior)
+        chi2s = None
         for _ in range(rounds):
-            prob = E.Problem()
-            prob.add_dense("pose", 2, 6, RES.retract_pose_wb)
-            prob.add_dense("vel", 2, 3, RES.retract_additive)
-            prob.add_dense("bg", 2, 3, RES.retract_additive)
-            prob.add_dense("ba", 2, 3, RES.retract_additive)
-            prob.add_term(E.Term(
-                name="reproj", res_fn=reproj_fn, rdim=2,
-                dense_refs=[("pose", jnp.ones(cap, jnp.int32))],
-                const={"uv": uv, "X": X}, mask=mask, info=is2,
-                robust_delta=float(np.sqrt(CHI2_MONO))))
-            prob.add_term(E.Term(
-                name="inertial", res_fn=inertial_fn, rdim=9,
-                dense_refs=[("pose", z1), ("vel", z1), ("bg", o1),
-                            ("ba", o1), ("pose", o1), ("vel", o1)],
-                const=jax.tree_util.tree_map(lambda x: x[None], pre_const),
-                mask=jnp.ones(1, bool), info=imu_info[None]))
-            prob.add_term(E.Term(
-                name="bg_rw", res_fn=RES.bias_rw, rdim=3,
-                dense_refs=[("bg", z1), ("bg", o1)], const=None,
-                mask=jnp.ones(1, bool), info=bias_rw_info[None, :3]))
-            prob.add_term(E.Term(
-                name="ba_rw", res_fn=RES.bias_rw, rdim=3,
-                dense_refs=[("ba", z1), ("ba", o1)], const=None,
-                mask=jnp.ones(1, bool), info=bias_rw_info[None, 3:]))
+            prob = build(states, mask_m, mask_s, consts)
             states, _, chi2s = E.optimize(prob, states, iters=iters,
                                           dense_free_mask=free)
-            mask = valid & (chi2s["reproj"] < CHI2_MONO)
+            mask_m = valid & ~has_r & (chi2s["reproj"] < CHI2_MONO)
+            if stereo_fn is not None:
+                mask_s = valid & has_r & (chi2s["stereo"] < CHI2_STEREO)
+        inlier = mask_m | mask_s
+
+        # ---- next frame's 15-DoF prior (information-form recursion) ----
+        # one extra linearization at the solution; no damping is added by
+        # build_normal_equations, so H is the exact GN information
+        prob = build(states, mask_m, mask_s, consts)
+        _, H, _, _, _, _ = prob.build_normal_equations(states)
+        Hpp = H[jnp.ix_(IDX_PREV, IDX_PREV)]
+        Hpc = H[jnp.ix_(IDX_PREV, IDX_CUR)]
+        Hcc = H[jnp.ix_(IDX_CUR, IDX_CUR)]
+        # marginalize the previous state: Hcc - Hcp Hpp^+ Hpc (pinv via
+        # eigh — reference Optimizer::Marginalize uses the same SVD-
+        # thresholded pseudo-inverse, src/Optimizer.cc:14399)
+        Hs = 0.5 * (Hpp + Hpp.T)
+        w, V = jnp.linalg.eigh(Hs)
+        w_inv = jnp.where(w > 1e-6 * jnp.maximum(jnp.max(jnp.abs(w)), 1e-12),
+                          1.0 / w, 0.0)
+        Hpp_inv = (V * w_inv[None, :]) @ V.T
+        H15_marg = Hcc - Hpc.T @ Hpp_inv @ Hpc
+        # have_prior=False: previous state was fixed — conditioning, not
+        # marginalization (reference LastKeyFrame sums frame-side edge
+        # Hessians only, src/Optimizer.cc:13931)
+        H15 = jnp.where(have_prior, H15_marg, Hcc)
+        H15 = 0.5 * (H15 + H15.T)
         return (states["pose"][1], states["vel"][1], states["bg"][1],
-                states["ba"][1], mask, jnp.sum(mask))
+                states["ba"][1], inlier, jnp.sum(inlier), H15)
 
     return run
 

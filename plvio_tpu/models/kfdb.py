@@ -133,12 +133,10 @@ class KeyFrameDatabase:
         cands = np.nonzero(scores > 0)[0]
         if len(cands) == 0:
             return np.zeros(0, np.int64), np.zeros(0)
-        group_scores = []
-        for c in cands:
-            group = np.nonzero((covis[c] >= 15) & mask)[0]
-            gs = scores[c] + scores[group].sum()
-            group_scores.append(gs)
-        group_scores = np.asarray(group_scores)
+        # one masked matvec instead of a per-candidate host walk: the
+        # group sum over covisible members is ((covis>=15)&mask) @ scores
+        group_mat = (covis[cands] >= 15) & mask[None, :]
+        group_scores = scores[cands] + group_mat @ scores
         order = np.argsort(-group_scores)[:top_n]
         return cands[order], group_scores[order]
 

@@ -189,9 +189,14 @@ class LocalMapper:
                     # VIBA1/VIBA2 because FullInertialBA is expensive on
                     # CPU (src/LocalMapping.cc:404-449); the TPU window
                     # kernel makes a sweep cheap enough to repeat, which
-                    # keeps drift outside the sliding window bounded
-                    self.full_inertial_ba()
-                    st["last"] = ts
+                    # keeps drift outside the sliding window bounded.
+                    # Past viba_kf_cap the pulse is AMORTIZED — one
+                    # chain block per process_keyframe call, round-robin
+                    # — so the mapping step never stalls for a burst
+                    # that grows with map size (and async mode never
+                    # backs up the KF queue behind a sweeps*blocks run)
+                    if self._viba_pulse_step(st):
+                        st["last"] = ts
                 if not st["v2"] and ts - st["t0"] > 15.0:
                     st["v2"] = True
                     self.map.imu_ba2 = True
@@ -1062,6 +1067,49 @@ class LocalMapper:
         free = np.zeros(len(win), bool)
         free[1:] = True         # anchor = oldest window KF
         self._liba_window(win, free)
+
+    def _viba_pulse_step(self, st: dict, sweeps: int = 2,
+                         halo: int = 2) -> bool:
+        """One amortized slice of the periodic full-map VIBA pulse.
+
+        Small maps (chain <= viba_kf_cap) run the single full solve and
+        finish immediately.  Big maps enqueue the sweeps x blocks
+        schedule of full_inertial_ba once and run ONE block solve per
+        call; returns True when the pulse (all queued blocks) completed.
+        """
+        m = self.map
+        chain = m.kf_chain()
+        if len(chain) <= self.viba_kf_cap:
+            self.full_inertial_ba(sweeps=sweeps, halo=halo)
+            return True
+        pending = st.get("pulse_blocks")
+        if pending is None:
+            # enqueue block START positions only — keyframes may be
+            # culled between slices, so each slice re-derives its window
+            # from the CURRENT chain
+            W = self.viba_kf_cap - 2 * halo
+            pending = [b0 for _ in range(sweeps)
+                       for b0 in range(0, len(chain), W)]
+            st["pulse_blocks"] = pending
+        W = self.viba_kf_cap - 2 * halo
+        while pending:
+            b0 = pending.pop(0)
+            if b0 >= len(chain):
+                continue
+            pos_of = {int(k): i for i, k in enumerate(chain)}
+            block = chain[max(0, b0 - halo):b0 + W + halo]
+            free = np.array([b0 <= pos_of[int(k)] < b0 + W
+                             for k in block])
+            free[block == chain[0]] = False
+            if free.all():
+                free[0] = False
+            if free.any():
+                self._liba_window(block, free, big=True)
+                break
+        if not pending:
+            st["pulse_blocks"] = None
+            return True
+        return False
 
     def full_inertial_ba(self, sweeps: int = 2, halo: int = 2) -> None:
         """Full-map visual-inertial BA (reference FullInertialBA over

@@ -71,6 +71,10 @@ class LoopCloser:
         self._key = jax.random.PRNGKey(cfg.seed + 7)
         self.n_loops_closed = 0
         self.n_maps_merged = 0
+        # accumulated loop edges per map (reference sLoopEdges via
+        # KeyFrame::AddLoopEdge, kept in every later essential graph —
+        # src/Optimizer.cc:7049 inserts them ahead of covis edges)
+        self._loop_edges: dict = {}     # map_id -> list[(kf, cand)]
 
     @property
     def map(self) -> MapStore:
@@ -229,7 +233,108 @@ class LoopCloser:
             return False, None, None, None
         if not (0.5 < s < 2.0):
             return False, None, None, None
+        # final polish on 2D reprojections in both frames (reference
+        # OptimizeSim3, src/Optimizer.cc:8462) — falls back to the 3D-3D
+        # estimate when the image-space matching is too thin, so it
+        # cannot reject a loop the 3D verification accepted
+        s, R, t = self._refine_sim3_reproj(kf, cand, m2, s,
+                                           np.asarray(R), np.asarray(t),
+                                           fix_scale)
+        if not (0.5 < s < 2.0):
+            return False, None, None, None
         return True, s, np.asarray(R), np.asarray(t)
+
+    def _refine_sim3_reproj(self, kf: int, cand: int, m2: MapStore,
+                            s: float, R: np.ndarray, t: np.ndarray,
+                            fix_scale: bool, cap: int = 256):
+        """Optimize the welding Sim3 on 2D reprojection residuals in both
+        keyframes (reference OptimizeSim3 src/Optimizer.cc:8462:
+        EdgeSim3ProjectXYZ / EdgeInverseSim3ProjectXYZ pairs with chi2
+        gating).  Pairs are the descriptor-matched bound points of the
+        two KFs, 3D-gated under the current (already 3D-refined)
+        similarity.  Returns the refined (s, R, t), or the inputs when
+        matching is too thin or the optimization rejects too much."""
+        m = self.map
+
+        def side(store, k):
+            match = store.kf_match_pt[k]
+            feat = np.nonzero(match >= 0)[0]
+            pts = match[feat]
+            keep = store.pt_valid[pts]
+            return feat[keep], pts[keep]
+
+        f1, p1 = side(m, kf)
+        f2, p2 = side(m2, cand)
+        if len(f1) < 15 or len(f2) < 15:
+            return s, R, t
+        d1 = M.unpack_u32_to_pm1(jnp.asarray(m.kf_feat_desc[kf][f1]))
+        d2 = M.unpack_u32_to_pm1(jnp.asarray(m2.kf_feat_desc[cand][f2]))
+        ham = np.asarray(M.hamming_matrix(d1, d2))
+        X1_all = m.pt_xyz[p1].astype(np.float64)
+        X2_all = m2.pt_xyz[p2].astype(np.float64)
+        # scene-scaled 3D gate under the current similarity (S is good
+        # after the guided refit; the gate only prunes gross mismatches)
+        Y = s * X1_all @ R.T + t
+        dist2 = ((Y ** 2).sum(1)[:, None] + (X2_all ** 2).sum(1)[None]
+                 - 2.0 * Y @ X2_all.T)
+        R_cw = m.kf_pose_cw[kf, :, :3]
+        c_w = -R_cw.T @ m.kf_pose_cw[kf, :, 3]
+        scene = float(np.median(np.linalg.norm(X1_all - c_w, axis=1)))
+        if not np.isfinite(scene) or scene <= 0:
+            scene = 5.0
+        gate = (0.05 * scene) ** 2
+        cost = np.where((dist2 < gate) & (ham <= 60.0), ham + dist2, np.inf)
+        j = cost.argmin(1)
+        ok = np.isfinite(cost[np.arange(len(f1)), j])
+        i_back = cost.argmin(0)
+        ok &= i_back[j] == np.arange(len(f1))
+        n_pairs = int(ok.sum())
+        if n_pairs < 15:
+            return s, R, t
+        sel1 = np.nonzero(ok)[0][:cap]
+        sel2 = j[sel1]
+
+        key = (bool(fix_scale),)
+        if not hasattr(self, "_sim3_reproj_kernels"):
+            self._sim3_reproj_kernels = {}
+        if key not in self._sim3_reproj_kernels:
+            self._sim3_reproj_kernels[key] = KN.make_sim3_reproj_optimizer(
+                self.K, cap, fix_scale=fix_scale)
+        opt = self._sim3_reproj_kernels[key]
+
+        def padded(a, dim):
+            out = np.zeros((cap, dim), np.float32)
+            out[:len(a)] = a
+            return jnp.asarray(out)
+
+        nv = len(sel1)
+        valid = jnp.asarray(np.arange(cap) < nv)
+        # octave-scaled information, like every reprojection term
+        is1 = 1.0 / (1.2 ** (2.0 * m.kf_feat_octave[kf][f1[sel1]])) \
+            if hasattr(m, "kf_feat_octave") else np.ones(nv)
+        is2_ = 1.0 / (1.2 ** (2.0 * m2.kf_feat_octave[cand][f2[sel2]])) \
+            if hasattr(m2, "kf_feat_octave") else np.ones(nv)
+        S13 = jnp.asarray(np.concatenate(
+            [R.reshape(-1), t, [s]]).astype(np.float32))
+        S13_out, inl_f, inl_b, n_inl = opt(
+            S13,
+            padded(X1_all[sel1], 3), padded(m2.kf_feat_uv[cand][f2[sel2]], 2),
+            valid, padded(np.asarray(is1)[:, None], 1)[:, 0],
+            padded(X2_all[sel2], 3), padded(m.kf_feat_uv[kf][f1[sel1]], 2),
+            valid, padded(np.asarray(is2_)[:, None], 1)[:, 0],
+            jnp.asarray(m.kf_pose_cw[kf]), jnp.asarray(m2.kf_pose_cw[cand]))
+        if int(n_inl) < 20:
+            return s, R, t
+        out = np.asarray(S13_out)
+        R_new = out[:9].reshape(3, 3)
+        # re-orthonormalize (7 DoF retraction keeps R in SO(3) only to
+        # first order across many steps)
+        U, _, Vt = np.linalg.svd(R_new)
+        R_new = U @ Vt
+        s_new = float(out[12])
+        if not np.isfinite(s_new) or not np.isfinite(out).all():
+            return s, R, t
+        return s_new, R_new.astype(np.float64), out[9:12].astype(np.float64)
 
     @staticmethod
     def _umeyama(X1: np.ndarray, X2: np.ndarray,
@@ -290,7 +395,22 @@ class LoopCloser:
             M.unpack_u32_to_pm1(jnp.asarray(d2p))))[:len(p1), :len(p2)]
         X1, X2 = X1[:len(p1)], X2[:len(p2)]
         n_inl = 0
-        for radius in (0.5, 0.25, 0.12):
+        # Gate radii are fractions of the scene scale (median landmark
+        # distance from the query KF), not absolute map units: a
+        # monocular map before IMU init has arbitrary scale, and fixed
+        # metric radii would reject loops the Sim3 RANSAC already
+        # verified.  10%/5%/2.4% of a typical 5 m indoor scene depth
+        # reproduces the old 0.5/0.25/0.12 m gates (the reference's
+        # SearchBySim3 gates in image space with octave-scaled windows,
+        # src/ORBmatcher.cc, which is likewise scale-free).
+        R_cw = m.kf_pose_cw[kf, :, :3]
+        t_cw = m.kf_pose_cw[kf, :, 3]
+        c_w = -R_cw.T @ t_cw
+        scene = float(np.median(np.linalg.norm(X1 - c_w, axis=1)))
+        if not np.isfinite(scene) or scene <= 0:
+            scene = 5.0
+        for frac in (0.10, 0.05, 0.024):
+            radius = frac * scene
             Y = s * X1 @ R.T + t
             d2 = ((Y ** 2).sum(1)[:, None] + (X2 ** 2).sum(1)[None]
                   - 2.0 * Y @ X2.T)
@@ -334,6 +454,15 @@ class LoopCloser:
         to the current covisible window (+its points), then optimize the
         full essential graph with the loop edge, then GBA."""
         m = self.map
+        # pre-correction poses of EVERY chain KF: the essential graph
+        # measures its non-loop edges from these (reference
+        # NonCorrectedSim3, src/LoopClosing.cc:1212 + Optimizer.cc:7007 —
+        # measuring from post-correction poses would make every edge
+        # zero-residual and the pose graph a no-op)
+        chain_pre = m.kf_chain()
+        pre_poses = {int(k): (m.kf_pose_cw[k, :, :3].copy(),
+                              m.kf_pose_cw[k, :, 3].copy())
+                     for k in chain_pre}
         # S maps current-frame coords -> loop-frame coords (world drift fix)
         # correct the window around kf: X' = s R X + t
         window = m.covisible_kfs(kf, n=15, min_weight=10)
@@ -359,7 +488,10 @@ class LoopCloser:
             m.kf_pose_cw[k, :, 3] = s * t_cw - R_new @ t
 
         # essential graph over all KFs
-        self._essential_graph(kf, cand, s, R, t)
+        self._essential_graph(kf, cand, s, R, t, pre_poses,
+                              set(int(k) for k in window))
+        self._loop_edges.setdefault(m.map_id, []).append((int(kf),
+                                                          int(cand)))
         # global BA from the pose-graph-corrected state (reference
         # RunGlobalBundleAdjustment(WithLines), src/LoopClosing.cc:3685,
         # launched as a transient thread there; synchronous device
@@ -371,50 +503,126 @@ class LoopCloser:
             self.run_global_ba(fixed_kf=cand)
         m.change_index += 1
 
-    def _essential_graph(self, kf: int, cand: int, s, R, t) -> None:
+    def _essential_graph(self, kf: int, cand: int, s, R, t,
+                         pre_poses: dict, window: set) -> None:
+        """Essential-graph optimization after the window weld (reference
+        OptimizeEssentialGraph / 4DoF, src/Optimizer.cc:6952 / :14411).
+
+        Measurement semantics (the part that makes the graph DO work):
+        spanning-tree/covis/past-loop edges measure relative poses from
+        the PRE-correction poses (reference NonCorrectedSim3); the
+        corrected window keyframes start at their welded Sim3
+        S_pre . S_weld^{-1} (scale 1/s); only the loop-side keyframe is
+        fixed.  Within-window and far-field edges are then zero-residual
+        while the window-boundary edges carry the accumulated drift,
+        which the solve distributes around the loop cycle.
+
+        Maps beyond pg_kf_cap are SUBSAMPLED (every stride-th chain KF +
+        the window + loop-edge endpoints); skipped keyframes are
+        propagated rigidly from their nearest preceding anchor — the
+        pose-graph analog of the reference's spanning-tree propagation
+        of corrected poses (src/LoopClosing.cc:1369ff)."""
         m = self.map
-        chain = m.kf_chain()
-        n = len(chain)
-        if n < 3 or n > self.pg_kf_cap:
+        chain_full = m.kf_chain()
+        if len(chain_full) < 3:
             return
+        s = float(s)
+        R_w = np.asarray(R, np.float64)
+        t_w = np.asarray(t, np.float64)
+        inv_s = 1.0 / max(s, 1e-9)
+        past_loops = [e for e in self._loop_edges.get(m.map_id, [])
+                      if m.kf_valid[e[0]] and m.kf_valid[e[1]]]
+
+        required = {int(kf), int(cand), int(chain_full[0])} | \
+            {int(k) for k in window}
+        for a, b in past_loops:
+            required |= {a, b}
+        required &= {int(k) for k in chain_full}
+        if len(chain_full) > self.pg_kf_cap:
+            budget = max(self.pg_kf_cap - len(required), 2)
+            stride = int(np.ceil(len(chain_full) / budget))
+            keep = set(int(k) for k in chain_full[::stride]) | required
+            chain = np.asarray([k for k in chain_full if int(k) in keep])
+            if len(chain) > self.pg_kf_cap:   # required overlap overflow
+                chain = chain[:self.pg_kf_cap]
+            print(f"[loop] essential graph subsampled: {len(chain_full)} "
+                  f"KFs -> {len(chain)} anchors (cap {self.pg_kf_cap})")
+        else:
+            chain = chain_full
+        n = len(chain)
         slot = {int(k): i for i, k in enumerate(chain)}
+
+        def sim3_state(k):
+            Rp, tp = pre_poses[int(k)]
+            if int(k) in window:
+                Rn = Rp @ R_w.T
+                return Rn, tp - inv_s * (Rn @ t_w), inv_s
+            return Rp.astype(np.float64), tp.astype(np.float64), 1.0
+
         states = np.zeros((self.pg_kf_cap, 13), np.float32)
+        states[:, :9] = np.eye(3).reshape(-1)
+        states[:, 12] = 1.0
+        st_cache = {}
         for i, k in enumerate(chain):
-            states[i] = np.concatenate([
-                m.kf_pose_cw[k, :, :3].reshape(-1), m.kf_pose_cw[k, :, 3],
-                [1.0]])
+            Rk, tk, sk = sim3_state(k)
+            st_cache[int(k)] = (Rk, tk, sk)
+            states[i] = np.concatenate(
+                [np.asarray(Rk).reshape(-1), tk, [sk]]).astype(np.float32)
+
         edge_i, edge_j, Rjis, tjis, sjis, infos = [], [], [], [], [], []
 
-        def add_edge(a, b, info=1.0):
-            """edge (a,b) with measurement S_b S_a^{-1} from CURRENT
-            (corrected) poses."""
-            Ra = m.kf_pose_cw[a, :, :3]
-            ta = m.kf_pose_cw[a, :, 3]
-            Rb = m.kf_pose_cw[b, :, :3]
-            tb = m.kf_pose_cw[b, :, 3]
+        def add_edge_pre(a, b, info=1.0):
+            """edge (a,b): measurement S_b S_a^{-1} from PRE-correction
+            poses (scale 1) — reference computes Sji from
+            NonCorrectedSim3 where available, src/Optimizer.cc:7030."""
+            Ra, ta = pre_poses[int(a)]
+            Rb, tb = pre_poses[int(b)]
             Rba = Rb @ Ra.T
-            tba = tb - Rba @ ta
             edge_i.append(slot[int(a)])
             edge_j.append(slot[int(b)])
-            # measurement S_ji with i=a, j=b: S_b S_a^{-1}
             Rjis.append(Rba)
-            tjis.append(tba)
+            tjis.append(tb - Rba @ ta)
             sjis.append(1.0)
             infos.append(info)
 
-        # temporal chain + covisibility edges
+        # temporal chain over the (possibly subsampled) anchors — the
+        # spanning-tree backbone
         for i in range(1, n):
-            add_edge(chain[i], chain[i - 1])
+            add_edge_pre(chain[i], chain[i - 1])
+        # accumulated past loop edges (reference inserts sLoopEdges
+        # ahead of covisibility edges, src/Optimizer.cc:7049)
+        for a, b in past_loops:
+            if a in slot and b in slot:
+                add_edge_pre(a, b, info=1.0)
+        # covisibility edges, information scaled by covisibility weight
+        # (more shared points -> more trustworthy relative pose)
         for i, k in enumerate(chain):
             for other in np.nonzero(m.covis[k] >= 30)[0]:
                 if int(other) in slot and slot[int(other)] > i + 1:
-                    add_edge(k, other)
-                    if len(edge_i) >= self.pg_edge_cap - 2:
+                    w_cov = float(m.covis[k, other])
+                    add_edge_pre(k, other,
+                                 info=float(np.clip(w_cov / 100.0,
+                                                    0.3, 1.0)))
+                    if len(edge_i) >= self.pg_edge_cap - 1:
                         break
-            if len(edge_i) >= self.pg_edge_cap - 2:
+            if len(edge_i) >= self.pg_edge_cap - 1:
                 break
-        # the loop edge with strong information
-        add_edge(kf, cand, info=100.0)
+        # the current loop edge: S_cand . S_kf'^{-1} between the INITIAL
+        # states (zero residual at init — it anchors the corrected
+        # window to the fixed loop side while the boundary drift is
+        # distributed; reference adds LoopConnections edges from
+        # CorrectedSim3, src/Optimizer.cc:7013)
+        Rk_, tk_, sk_ = st_cache[int(kf)]
+        Rc_, tc_, sc_ = st_cache[int(cand)]
+        Ri_ = Rk_.T
+        si_ = 1.0 / sk_
+        ti_ = -si_ * (Ri_ @ tk_)
+        edge_i.append(slot[int(kf)])
+        edge_j.append(slot[int(cand)])
+        Rjis.append(Rc_ @ Ri_)
+        tjis.append(sc_ * (Rc_ @ ti_) + tc_)
+        sjis.append(sc_ * si_)
+        infos.append(1.0)
 
         ne = len(edge_i)
         cap_e = self.pg_edge_cap
@@ -425,9 +633,11 @@ class LoopCloser:
             out[:len(a)] = a
             return out
 
+        # only the loop-side KF fixed (reference fixes pLoopKF alone,
+        # src/Optimizer.cc:6985)
         kf_free = np.zeros(self.pg_kf_cap, bool)
-        kf_free[1:n] = True
-        kf_free[slot[int(cand)]] = False   # loop side fixed
+        kf_free[:n] = True
+        kf_free[slot[int(cand)]] = False
 
         # inertial maps: gravity pins roll/pitch and IMU init pins
         # scale, so the graph correction is yaw+translation only
@@ -445,35 +655,72 @@ class LoopCloser:
             jnp.asarray(pad(np.asarray(infos, np.float32))))
         out = np.asarray(out)
 
-        # apply: correct KF poses and transform their points by the
-        # per-reference-KF similarity change (reference :3900 spanning-tree
-        # propagation of corrected poses)
+        # ---- apply: anchors from the solve, skipped KFs propagated ----
+        old_poses = {int(k): (m.kf_pose_cw[k, :, :3].copy(),
+                              m.kf_pose_cw[k, :, 3].copy())
+                     for k in chain_full}
+        new_sim3 = {}
+        for i, k in enumerate(chain):
+            Rn = np.asarray(lie.so3_normalize(jnp.asarray(
+                out[i, :9].reshape(3, 3)[None], jnp.float32)))[0]
+            new_sim3[int(k)] = (Rn.astype(np.float64),
+                                out[i, 9:12].astype(np.float64),
+                                max(float(out[i, 12]), 1e-6))
+        # rigid Sim3 propagation S_new_k = (S_pre_k S_pre_a^{-1}) S_new_a
+        # from the nearest PRECEDING anchor (chain_full[0] is always an
+        # anchor, so the forward pass covers everything)
+        anchor = None
+        for k in chain_full:
+            ik = int(k)
+            if ik in new_sim3:
+                anchor = ik
+                continue
+            Rka, tka = pre_poses[ik]
+            Raa, taa = pre_poses[anchor]
+            Rrel = Rka @ Raa.T
+            trel = tka - Rrel @ taa
+            Rna, tna, sna = new_sim3[anchor]
+            new_sim3[ik] = (Rrel @ Rna, Rrel @ tna + trel * sna, sna)
+        # write SE3 poses T_cw = [R | t/s]; rotate inertial velocities by
+        # the per-KF world-frame rotation change (reference 4DoF graph
+        # corrects velocities, src/Optimizer.cc:14411 tail)
+        for k in chain_full:
+            Rn, tn, sn = new_sim3[int(k)]
+            R_oldk = old_poses[int(k)][0]
+            m.kf_pose_cw[k, :, :3] = Rn.astype(np.float32)
+            m.kf_pose_cw[k, :, 3] = (tn / sn).astype(np.float32)
+            if m.imu_initialized and np.isfinite(m.kf_vel[k]).all():
+                R_corr = Rn.T @ R_oldk
+                m.kf_vel[k] = (R_corr @ m.kf_vel[k]).astype(np.float32)
+
+        # transform landmarks by their reference KF's similarity change
+        # (reference :3900 spanning-tree propagation of corrected poses)
         pt_ref = np.full(m.max_pts, -1, np.int32)
-        for k in chain:
+        ln_ref = np.full(m.max_lines, -1, np.int32)
+        for k in chain_full:
             pts = m.kf_match_pt[k]
             pts = pts[pts >= 0]
             fresh = pt_ref[pts] < 0
             pt_ref[pts[fresh]] = k
-        old_poses = {int(k): (m.kf_pose_cw[k, :, :3].copy(),
-                              m.kf_pose_cw[k, :, 3].copy()) for k in chain}
-        for i, k in enumerate(chain):
-            Rn = out[i, :9].reshape(3, 3)
-            tn = out[i, 9:12]
-            sn = out[i, 12]
-            # fold sim3 into SE3: T_cw = [R | t/s]
-            m.kf_pose_cw[k, :, :3] = np.asarray(
-                lie.so3_normalize(jnp.asarray(Rn[None], jnp.float32)))[0]
-            m.kf_pose_cw[k, :, 3] = tn / max(sn, 1e-6)
-        for k in chain:
-            pts = np.nonzero((pt_ref == k) & m.pt_valid)[0]
-            if len(pts) == 0:
-                continue
+            lns = m.kf_match_ln[k]
+            lns = lns[lns >= 0]
+            freshl = ln_ref[lns] < 0
+            ln_ref[lns[freshl]] = k
+        for k in chain_full:
             R_old, t_old = old_poses[int(k)]
             R_new = m.kf_pose_cw[k, :, :3]
             t_new = m.kf_pose_cw[k, :, 3]
-            # X' = T_new^{-1} T_old X
-            Xc = m.pt_xyz[pts] @ R_old.T + t_old
-            m.pt_xyz[pts] = ((Xc - t_new) @ R_new).astype(np.float32)
+            pts = np.nonzero((pt_ref == k) & m.pt_valid)[0]
+            if len(pts):
+                # X' = T_new^{-1} T_old X
+                Xc = m.pt_xyz[pts] @ R_old.T + t_old
+                m.pt_xyz[pts] = ((Xc - t_new) @ R_new).astype(np.float32)
+            lns = np.nonzero((ln_ref == k) & m.ln_valid)[0]
+            if len(lns):
+                ep = m.ln_ep[lns].reshape(-1, 3)
+                epc = ep @ R_old.T + t_old
+                m.ln_ep[lns] = ((epc - t_new) @ R_new).reshape(
+                    -1, 6).astype(np.float32)
 
     # ------------------------------------------------------------------
     def run_global_ba(self, fixed_kf: int, iters: int = 10) -> None:
@@ -549,10 +796,29 @@ class LoopCloser:
         ks, fs = np.nonzero((match >= 0) & (pt_slot[np.maximum(match, 0)] >= 0))
         pts = match[ks, fs]
         if len(ks) > obs_cap:
+            # STRATIFIED per-KF cap: a uniform draw can starve whole
+            # keyframes of observations on big maps, silently weakening
+            # the one global pass loop correction relies on — capping
+            # each KF's quota keeps every keyframe constrained
+            per_kf = max(obs_cap // max(len(chain), 1), 8)
             print(f"[gba] {len(ks)} observations > cap {obs_cap}: "
-                  f"uniform subsample")
-            sel = np.sort(np.random.default_rng(0).choice(
-                len(ks), obs_cap, replace=False))
+                  f"stratified to <= {per_kf}/KF")
+            r = np.random.default_rng(0)
+            keep = np.zeros(len(ks), bool)
+            for slot_k in np.unique(ks):
+                rows = np.nonzero(ks == slot_k)[0]
+                if len(rows) > per_kf:
+                    rows = r.choice(rows, per_kf, replace=False)
+                keep[rows] = True
+            sel = np.nonzero(keep)[0]
+            # spend any leftover budget uniformly on the remainder
+            spare = obs_cap - len(sel)
+            if spare > 0:
+                rest = np.nonzero(~keep)[0]
+                sel = np.concatenate(
+                    [sel, r.choice(rest, min(spare, len(rest)),
+                                   replace=False)])
+            sel = np.sort(sel[:obs_cap])
             ks, fs, pts = ks[sel], fs[sel], pts[sel]
         obs_kf = ks.astype(np.int32)
         obs_pt = pt_slot[pts]

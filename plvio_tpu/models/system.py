@@ -13,6 +13,7 @@ async, so the host threads only orchestrate.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from typing import List, Optional, Sequence
@@ -153,6 +154,7 @@ class System:
         # into the new gravity-aligned metric frame
         with self.map_lock:
             self._apply_pending_transform()
+        self._maybe_dump_overlay(img)
         return pose
 
     def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
@@ -199,6 +201,7 @@ class System:
         self._drain_keyframes()
         with self.map_lock:
             self._apply_pending_transform()
+        self._maybe_dump_overlay(img_left)
         return pose
 
     def track_rgbd(self, img: np.ndarray, depth_img: np.ndarray,
@@ -223,17 +226,65 @@ class System:
         self._drain_keyframes()
         with self.map_lock:
             self._apply_pending_transform()
+        self._maybe_dump_overlay(img)
         return pose
 
     def _host_hygiene(self):
         """Every 100 frames, clear the XLA JIT caches if the process is
-        about to exhaust vm.max_map_count (see utils/hostmem)."""
+        about to exhaust vm.max_map_count (see utils/hostmem).
+
+        Serialized with the async mapping thread via map_lock:
+        jax.clear_caches() while another thread is executing/compiling a
+        jitted program is not guaranteed thread-safe."""
         self._frame_counter += 1
         if self._frame_counter % 100 == 0:
             from ..utils import hostmem as HM
-            if HM.maybe_clear_jit_caches():
+            with self.map_lock:
+                cleared = HM.maybe_clear_jit_caches()
+            if cleared:
                 print("[hostmem] mapping count near vm.max_map_count: "
                       "cleared XLA JIT caches", flush=True)
+
+    def _maybe_dump_overlay(self, img) -> None:
+        """PLVIO_OVERLAY_DIR=<dir> [PLVIO_OVERLAY_EVERY=N]: per-frame
+        tracking overlay PNGs (the FrameDrawer analog — reference
+        src/FrameDrawer.cc; see models/viewer.dump_overlay)."""
+        out_dir = os.environ.get("PLVIO_OVERLAY_DIR")
+        if not out_dir:
+            return
+        every = int(os.environ.get("PLVIO_OVERLAY_EVERY", "1"))
+        t = self.tracker
+        if t.frame_idx % every or t.last_feats is None:
+            return
+        from . import viewer as VW
+        uv = np.asarray(t.last_feats.uv)
+        fp = t.last_feat_pt
+        matched = (fp >= 0) if fp is not None else np.zeros(len(uv), bool)
+        line_ep = line_m = None
+        if t.last_line_feats is not None and t.last_feat_ln is not None:
+            line_ep = np.asarray(t.last_line_feats.ep)
+            line_m = t.last_feat_ln >= 0
+        VW.dump_overlay(np.asarray(img), uv, matched[:len(uv)],
+                        t.state.name, t.frame_idx, out_dir,
+                        line_ep=line_ep, line_matched=line_m)
+
+    def _maybe_snapshot(self) -> None:
+        """PLVIO_SNAPSHOT_DIR=<dir> [PLVIO_SNAPSHOT_EVERY=K]: export an
+        html+ply map snapshot every K processed keyframes (the MapDrawer
+        refresh analog — reference src/MapDrawer.cc)."""
+        out_dir = os.environ.get("PLVIO_SNAPSHOT_DIR")
+        if not out_dir:
+            return
+        every = int(os.environ.get("PLVIO_SNAPSHOT_EVERY", "10"))
+        self._snapshot_counter = getattr(self, "_snapshot_counter", 0) + 1
+        if self._snapshot_counter % every:
+            return
+        from . import viewer as VW
+        os.makedirs(out_dir, exist_ok=True)
+        m = self.atlas.current
+        tag = f"kf{self._snapshot_counter:04d}"
+        VW.export_html(m, os.path.join(out_dir, f"map_{tag}.html"))
+        VW.export_ply(m, os.path.join(out_dir, f"map_{tag}.ply"))
 
     def _extract_frame_lines(self, img_dev):
         if self.extract_lines is None:
@@ -285,6 +336,10 @@ class System:
                     and self.mapper.pending_transform is None \
                     and np.isfinite(m.kf_pose_cw[kf]).all():
                 t.last_pose_cw = m.kf_pose_cw[kf].copy()
+                # the carried VI marginalization prior linearized the
+                # pre-BA state — drop it (reference switches to the
+                # LastKeyFrame flavor when the map updated)
+                t.invalidate_vi_prior()
                 if t.use_imu and m.imu_initialized \
                         and np.isfinite(m.kf_vel[kf]).all():
                     t.frame_vel = m.kf_vel[kf].copy()
@@ -298,6 +353,7 @@ class System:
                     self.tracker.on_map_merged(**merge)
             if self.relocalizer is not None:
                 self.relocalizer.process_keyframe(kf, m.kf_timestamp[kf])
+        self._maybe_snapshot()
 
     def _mapping_loop(self):
         while not self._stop.is_set():

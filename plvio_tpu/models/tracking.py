@@ -91,12 +91,21 @@ class Tracker:
         self.use_lines = cfg.use_lines
         self.local_ln_cap = 256
         self.n_line_feat = cfg.line.max_raw_segments if hasattr(cfg.line, 'max_raw_segments') else 256
+        _bf = cfg.camera.baseline * cfg.camera.fx
+        self.pl_stereo = (cfg.sensor in (1, 2, 4) and _bf > 0
+                          and cam.model != "kb8")
         if self.use_lines:
             self.n_line_feat = 256
             self.line_proj_match = KN.make_line_projection_matcher(
                 self.K, self.n_line_feat, self.local_ln_cap)
+            # stereo/RGB-D with lines: the u_R depth residual joins the
+            # point+line pose optimization (reference builds EdgeStereo*
+            # alongside the line edges in PoseOptimizationWithLine's
+            # stereo branch, src/Optimizer.cc:2736ff) — previously the
+            # depth edges only took effect in point-only configs
             self.pose_opt_pl = KN.make_fast_pose_optimizer_pl(
-                self.K, local_pts_cap, self.local_ln_cap)
+                self.K, local_pts_cap, self.local_ln_cap,
+                bf=_bf if self.pl_stereo else 0.0)
         # stereo/RGB-D: right-eye residual u_R = u - bf/z joins the
         # pose-only optimization for features with a stereo depth
         # (reference EdgeStereoSE3ProjectXYZOnlyPose for mvuRight>=0,
@@ -127,8 +136,20 @@ class Tracker:
         self.R_cb = np.asarray(R_bc.T, np.float32)
         self.t_cb = np.asarray(-R_bc.T @ t_bc, np.float32)
         self.gravity_w = np.array([0, 0, -cfg.imu.gravity], np.float32)
+        # IMU_STEREO: the right-eye residual joins the inertial pose opt
+        # (reference EdgeStereoOnlyPose in PoseInertialOptimization*,
+        # src/Optimizer.cc:13659ff)
         self.vi_pose_opt = KN.make_vi_pose_optimizer(
-            self.K, local_pts_cap, self.R_cb, self.t_cb, cfg.imu.gravity)
+            self.K, local_pts_cap, self.R_cb, self.t_cb, cfg.imu.gravity,
+            bf=self.bf if (cfg.sensor == 4 and self.bf > 0
+                           and self.kb8 is None) else 0.0)
+        # frame-to-frame marginalization prior carried between VI solves
+        # (reference ConstraintPoseImu, include/G2oTypes.h:848-929;
+        # produced/consumed by PoseInertialOptimizationLastFrame,
+        # src/Optimizer.cc:13980).  Invalidated whenever the frame state
+        # is rewritten externally (map transform, BA resync, reloc, loss).
+        self.prior_H15: Optional[np.ndarray] = None
+        self._prior_frame_idx = -10
         # raw IMU buffered since the last keyframe (for exact
         # reintegration; reference Tracking::mlQueueImuData)
         self.imu_since_kf: list = []
@@ -620,10 +641,20 @@ class Tracker:
         t_cw = -R_cw @ p_wc
         return np.concatenate([R_cw, t_cw[:, None]], 1).astype(np.float32)
 
+    def invalidate_vi_prior(self) -> None:
+        """Drop the frame-to-frame marginalization prior: the carried
+        linearization no longer matches the frame state (map transform,
+        BA resync, merge, relocalization, loss) — the reference deletes
+        mpcpi on the same events (src/Optimizer.cc:14401,
+        src/Tracking.cc map-update branches switch to LastKeyFrame)."""
+        self.prior_H15 = None
+        self._prior_frame_idx = -10
+
     def apply_map_transform(self, R_gw: np.ndarray, scale: float) -> None:
         """Bring the tracker's frame state into the new gravity-aligned
         metric frame after IMU init (reference Tracking::UpdateFrameIMU,
         src/Tracking.cc:6117)."""
+        self.invalidate_vi_prior()
         R_gw = np.asarray(R_gw, np.float32)
         R_cw, t_cw = self.last_pose_cw[:, :3], self.last_pose_cw[:, 3]
         self.last_pose_cw = np.concatenate(
@@ -657,6 +688,7 @@ class Tracker:
         the Tracking thread continues in the merged map,
         src/LoopClosing.cc:2448ff).  The merged-in map was re-expressed
         as X' = s R X + t and its slots remapped by kf_map/pt_map."""
+        self.invalidate_vi_prior()
         R = np.asarray(R, np.float32)
         t = np.asarray(t, np.float32)
         if self.last_pose_cw is not None:
@@ -884,17 +916,55 @@ class Tracker:
             rw_info = np.concatenate([
                 np.full(3, 1.0 / (self.cfg.imu.gyro_walk ** 2 * n_samp)),
                 np.full(3, 1.0 / (self.cfg.imu.acc_walk ** 2 * n_samp))])
-            pose_wb, vel, bg, ba, inlier, n_inl = self.vi_pose_opt(
+            # stereo/RGB-D depth -> u_R third residual where available
+            uv_np = np.asarray(uv_m)
+            ur_col = np.full(len(uv_np), -1.0, np.float32)
+            if self.bf > 0 and self._frame_depth is not None:
+                depth = self._frame_depth
+                pf = np.asarray(pt_feat)
+                safe_f = np.clip(pf, 0, len(depth) - 1)
+                z_f = np.where((pf >= 0) & (pf < len(depth)),
+                               depth[safe_f], -1.0)
+                ur_col = np.where(z_f > 0.1,
+                                  uv_np[:, 0] - self.bf / np.maximum(z_f, 0.1),
+                                  -1.0).astype(np.float32)
+            uvr = jnp.asarray(
+                np.concatenate([uv_np, ur_col[:, None]], 1), jnp.float32)
+            # LastFrame flavor when the previous frame's marginalization
+            # prior is live; LastKeyFrame (fixed-prev) otherwise
+            have_prior = (self.prior_H15 is not None
+                          and self._prior_frame_idx == self.frame_idx - 1)
+            if have_prior:
+                prior_info = jnp.asarray(self.prior_H15, jnp.float32)
+            else:
+                prior_info = jnp.eye(15, dtype=jnp.float32)
+            prior_const = {
+                "R0": jnp.asarray(last_wb[:, :3], jnp.float32),
+                "p0": jnp.asarray(last_wb[:, 3], jnp.float32),
+                "v0": jnp.asarray(self.frame_vel, jnp.float32),
+                "bg0": jnp.asarray(self.frame_bg, jnp.float32),
+                "ba0": jnp.asarray(self.frame_ba, jnp.float32)}
+            pose_wb, vel, bg, ba, inlier, n_inl, H15 = self.vi_pose_opt(
                 jnp.asarray(self._pred_wb), jnp.asarray(self._pred_vel),
                 jnp.asarray(self.frame_bg), jnp.asarray(self.frame_ba),
-                uv_m, jnp.asarray(xyz), matched, is2,
+                uvr, jnp.asarray(xyz), matched, is2,
                 jnp.asarray(last_wb), jnp.asarray(self.frame_vel),
                 pre_const, imu_info,
-                jnp.asarray(rw_info, jnp.float32))
+                jnp.asarray(rw_info, jnp.float32),
+                prior_const, prior_info, have_prior)
             pose = self._wb_to_cw(np.asarray(pose_wb))
             self.frame_vel = np.asarray(vel)
             self.frame_bg = np.asarray(bg)
             self.frame_ba = np.asarray(ba)
+            H15 = np.asarray(H15)
+            if np.isfinite(H15).all():
+                # jitter keeps the whitening cholesky of the carried
+                # information PD (reference adds none: g2o's solver
+                # tolerates PSD; our sqrt-info whitening does not)
+                self.prior_H15 = H15 + np.eye(15, dtype=np.float32) * 1e-4
+                self._prior_frame_idx = self.frame_idx
+            else:
+                self.prior_H15 = None
             pose = jnp.asarray(pose)
             # line matching still runs in VI mode (reference
             # src/Tracking.cc:3988-4061 matches lines regardless of IMU;
@@ -938,11 +1008,26 @@ class Tracker:
                                      & (pc[:, 2] > 0.05))
                 n_inl = int(n_inl_l) + int(jnp.sum(inlier))
             else:
-                pose, inlier, inl_l, n_inl = self.pose_opt_pl(
-                    jnp.asarray(pose_pred), uv_m, jnp.asarray(xyz),
-                    matched, is2, l_eq,
-                    jnp.asarray(ln_ep6[:, :3]), jnp.asarray(ln_ep6[:, 3:]),
-                    ln_matched, jnp.ones(self.local_ln_cap, jnp.float32))
+                args = (jnp.asarray(pose_pred), uv_m, jnp.asarray(xyz),
+                        matched, is2, l_eq,
+                        jnp.asarray(ln_ep6[:, :3]), jnp.asarray(ln_ep6[:, 3:]),
+                        ln_matched, jnp.ones(self.local_ln_cap, jnp.float32))
+                if self.pl_stereo:
+                    # u_R depth residual for features with stereo depth
+                    ur_col = np.full(self.local_cap, -1.0, np.float32)
+                    if self._frame_depth is not None:
+                        depth = self._frame_depth
+                        pf = np.asarray(pt_feat)
+                        safe_f = np.clip(pf, 0, len(depth) - 1)
+                        z_f = np.where((pf >= 0) & (pf < len(depth)),
+                                       depth[safe_f], -1.0)
+                        uv_np = np.asarray(uv_m)
+                        ur_col = np.where(
+                            z_f > 0.1,
+                            uv_np[:, 0] - self.bf / np.maximum(z_f, 0.1),
+                            -1.0).astype(np.float32)
+                    args = args + (jnp.asarray(ur_col),)
+                pose, inlier, inl_l, n_inl = self.pose_opt_pl(*args)
             # line bookkeeping: map observed line feature -> map line id
             inl_l_np = np.asarray(inl_l)
             ln_feat_np = np.asarray(ln_feat_idx)
@@ -1040,6 +1125,7 @@ class Tracker:
         mature map is kept and a fresh one started in the Atlas
         (CreateMapInAtlas :3350) — to be merged back by loop closing; a
         small young map is simply reset."""
+        self.invalidate_vi_prior()
         m = self.map
         if self.only_tracking:
             # pure localization: never touch the map — stay LOST and keep
@@ -1072,6 +1158,7 @@ class Tracker:
         """BoW candidate retrieval + descriptor matching to candidate map
         points + PnP RANSAC + pose refinement (reference
         Tracking::Relocalization src/Tracking.cc:5744 with MLPnPsolver)."""
+        self.invalidate_vi_prior()
         kfdb = getattr(self, "kfdb", None)
         if kfdb is None:
             return False

@@ -11,13 +11,101 @@ artifacts suited to headless TPU runs:
 * export_html      — a self-contained zero-dependency HTML viewer
                      (canvas, orbit controls) embedding the map as JSON;
 * export_json      — raw map snapshot for external tooling.
+
+DURING-RUN observability (the live-view analog — reference
+Viewer::Run src/Viewer.cc:58-120 refreshes per frame; FrameDrawer
+src/FrameDrawer.cc paints tracked features on the image):
+
+* write_png        — dependency-free PNG writer (zlib from the stdlib);
+* dump_overlay     — per-frame tracking overlay (features colored by
+                     match state, matched lines, state-colored border),
+                     enabled with PLVIO_OVERLAY_DIR [PLVIO_OVERLAY_EVERY];
+* System exports an html/ply snapshot every PLVIO_SNAPSHOT_EVERY
+  keyframes into PLVIO_SNAPSHOT_DIR.
 """
 from __future__ import annotations
 
 import json
+import os
+import struct
+import zlib
 from typing import Optional
 
 import numpy as np
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Minimal PNG encoder (8-bit RGB) — zlib + struct only, no image
+    library in the TPU container."""
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[y].astype(np.uint8).tobytes()
+                   for y in range(h))
+
+    def chunk(tag, data):
+        out = struct.pack(">I", len(data)) + tag + data
+        return out + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+
+    hdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n")
+        f.write(chunk(b"IHDR", hdr))
+        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
+        f.write(chunk(b"IEND", b""))
+
+
+_STATE_COLORS = {
+    "OK": (40, 200, 60),
+    "RECENTLY_LOST": (255, 160, 30),
+    "LOST": (230, 40, 40),
+    "NOT_INITIALIZED": (120, 120, 255),
+    "NO_IMAGES_YET": (128, 128, 128),
+}
+
+
+def dump_overlay(img: np.ndarray, uv: np.ndarray, matched: np.ndarray,
+                 state: str, frame_idx: int, out_dir: str,
+                 line_ep: Optional[np.ndarray] = None,
+                 line_matched: Optional[np.ndarray] = None) -> str:
+    """Per-frame tracking overlay PNG (reference FrameDrawer::DrawFrame,
+    src/FrameDrawer.cc: green = feature bound to a map point this frame,
+    red = unmatched detection; matched line segments in cyan; 4-px
+    border colored by tracking state)."""
+    g = np.clip(np.asarray(img, np.float32), 0, 255).astype(np.uint8)
+    if g.ndim == 3:
+        g = g[..., 0]
+    H, W = g.shape
+    rgb = np.stack([g, g, g], -1).astype(np.int16)
+
+    def dot(u, v, color, r=2):
+        x0, x1 = max(0, u - r), min(W, u + r + 1)
+        y0, y1 = max(0, v - r), min(H, v + r + 1)
+        rgb[y0:y1, x0:x1] = color
+
+    uv = np.asarray(uv)
+    matched = np.asarray(matched)
+    for i in range(len(uv)):
+        u, v = int(round(float(uv[i, 0]))), int(round(float(uv[i, 1])))
+        if not (0 <= u < W and 0 <= v < H):
+            continue
+        dot(u, v, (40, 220, 60) if matched[i] else (220, 50, 50),
+            r=2 if matched[i] else 1)
+    if line_ep is not None and line_matched is not None:
+        for i in np.nonzero(np.asarray(line_matched))[0]:
+            x0, y0, x1, y1 = np.asarray(line_ep[i], np.float32)
+            npts = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+            xs = np.linspace(x0, x1, npts).round().astype(int)
+            ys = np.linspace(y0, y1, npts).round().astype(int)
+            ok = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+            rgb[ys[ok], xs[ok]] = (60, 200, 230)
+    color = _STATE_COLORS.get(state, (128, 128, 128))
+    rgb[:4] = color
+    rgb[-4:] = color
+    rgb[:, :4] = color
+    rgb[:, -4:] = color
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"frame_{frame_idx:05d}_{state}.png")
+    write_png(path, np.clip(rgb, 0, 255).astype(np.uint8))
+    return path
 
 
 def _map_snapshot(m, traj=None) -> dict:

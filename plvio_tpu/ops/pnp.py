@@ -109,6 +109,27 @@ def pnp_ransac(K: PinholeK, uv: jnp.ndarray, X: jnp.ndarray,
         return U @ Vt2, P[:, 3] / jnp.maximum(jnp.mean(S), 1e-9)
 
     R_ref, t_ref = _dlt_weighted(xn, X, w_in)
+    # IRLS polish: re-weight by Huber'd reprojection error and refit
+    # (unrolled fixed rounds — keeps the solve robust in high-outlier
+    # relocalization regimes where the single loose-inlier refit can be
+    # dragged by borderline outliers; SVDs stay OUT of lax.scan, which
+    # compiles pathologically on the axon backend)
+    for _ in range(2):
+        pc = X @ R_ref.T + t_ref
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        pred = jnp.stack([K.fx * pc[:, 0] / z + K.cx,
+                          K.fy * pc[:, 1] / z + K.cy], -1)
+        chi2 = jnp.sum((pred - uv) ** 2, -1)
+        w_h = jnp.minimum(1.0, jnp.sqrt(
+            chi2_th / jnp.maximum(chi2, 1e-9)))
+        w_irls = valid.astype(jnp.float32) * (pc[:, 2] > 0.05) * w_h \
+            * (chi2 < 4 * chi2_th)
+        R_i, t_i = _dlt_weighted(xn, X, w_irls)
+        n_i, _ = score(R_i, t_i)
+        n_cur, _ = score(R_ref, t_ref)
+        keep = n_i >= n_cur
+        R_ref = jnp.where(keep, R_i, R_ref)
+        t_ref = jnp.where(keep, t_i, t_ref)
     n_ref, inl_ref = score(R_ref, t_ref)
     # fall back to the raw hypothesis if the refit somehow got worse
     n_raw, inl_raw = score(Rs[best], ts[best])

@@ -461,56 +461,17 @@ class Problem:
 
 
 def optimize(problem: Problem, states, iters: int = 10, lam0: float = 1e-4,
-             dense_free_mask=None, lm_free_mask=None, accept: str = "lm"):
+             dense_free_mask=None, lm_free_mask=None):
     """Fixed-trip-count LM loop with branchless accept/reject.
 
     Mirrors `optimizer.optimize(n)` (reference pattern used ~40x in
-    src/Optimizer.cc).  Returns (states, final chi2_by_term).
+    src/Optimizer.cc).  Returns (states, final cost, chi2_by_term).
 
-    accept="lm": evaluate the cost after each step and roll back bad
-    steps (2 linearizations per iteration).  accept="gn": deferred
-    accept — each iteration linearizes ONCE; the cost that linearization
-    yields decides retroactively whether the PREVIOUS step helped, and a
-    rejected step rolls back and re-solves from the kept state with a
-    raised damping.  Same fixed-point, half the linearization work —
-    the difference that matters for the big windowed-BA kernels."""
-
-    if accept == "gn":
-        def body_gn(carry, _):
-            states, prev_states, lam, cost_prev, best, best_cost = carry
-            new_states, cost_here, chi2s = problem.solve_step(
-                states, lam, dense_free_mask, lm_free_mask)
-            ok = cost_here <= cost_prev       # False for NaN cost_here
-            # reject: the last step made things worse — keep prev_states
-            # (whose cost is cost_prev) and damp harder next time
-            states_kept = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(ok, a, b), new_states, prev_states)
-            base = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(ok, a, b), states, prev_states)
-            lam_out = jnp.clip(jnp.where(ok, lam * 0.5, lam * 4.0),
-                               1e-8, 1e4)
-            cost_out = jnp.where(ok, cost_here, cost_prev)
-            # best-so-far among states whose cost has been EVALUATED
-            better = cost_here < best_cost    # False for NaN
-            best = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(better, a, b), states, best)
-            best_cost = jnp.where(better, cost_here, best_cost)
-            return (states_kept, base, lam_out, cost_out,
-                    best, best_cost), None
-
-        big = jnp.float32(3e38)
-        (states, _, lam, cost, best, best_cost), _ = jax.lax.scan(
-            body_gn, (states, states, jnp.float32(lam0), big,
-                      states, big), None, length=iters)
-        # the final step's cost was never checked inside the loop: a
-        # diverged last solve (singular reduced system after aggressive
-        # chi2 masking) must not leak NaN/regressed states out
-        final_cost, chi2s = problem.cost(states)
-        use_final = final_cost <= best_cost   # False for NaN
-        states = jax.tree_util.tree_map(
-            lambda a, b: jnp.where(use_final, a, b), states, best)
-        _, chi2s = problem.cost(states)
-        return states, jnp.minimum(final_cost, best_cost), chi2s
+    Each iteration evaluates the cost after the step and rolls back bad
+    steps (2 linearizations per iteration).  A deferred-accept variant
+    (one linearization per iteration) was tried and removed: its
+    reject->re-accept cycle halves the damping right after raising it,
+    so damping never grows and hard BA problems stall."""
 
     def body(carry, _):
         states, lam, cost_prev = carry

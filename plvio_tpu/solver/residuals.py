@@ -263,6 +263,30 @@ def make_point_reproj_body(K: PinholeK, Rcb: jnp.ndarray, tcb: jnp.ndarray):
     return res
 
 
+def make_stereo_reproj_body(K: PinholeK, bf: float,
+                            Rcb: jnp.ndarray, tcb: jnp.ndarray):
+    """Pose-only STEREO edge with the state on the BODY frame (reference
+    EdgeStereoOnlyPose, include/G2oTypes.h:596: the stereo (u, v, u_R)
+    residual joins the inertial pose-only optimization for mvuRight>=0
+    features — src/Optimizer.cc:13585ff builds these alongside the mono
+    edges in PoseInertialOptimization*).
+
+    blocks = (pose_wb,), const = {'uvr': [3], 'X': [3] world point}.
+    """
+    def res(blocks, deltas, const):
+        (P,) = blocks
+        (d,) = deltas
+        R_wb, p_wb = retract_pose_wb_single(P, d)
+        Xb = R_wb.T @ (const["X"] - p_wb)
+        pc = Rcb @ Xb + tcb
+        z = jnp.maximum(pc[2], 1e-4)
+        u = K.fx * pc[0] / z + K.cx
+        v = K.fy * pc[1] / z + K.cy
+        ur = u - bf / z
+        return jnp.stack([u, v, ur]) - const["uvr"]
+    return res
+
+
 def make_point_reproj_body_ba(K: PinholeK, Rcb: jnp.ndarray, tcb: jnp.ndarray):
     """BA version: (pose_wb, point) both free (reference EdgeMono,
     include/G2oTypes.h:484)."""

@@ -42,9 +42,12 @@ def test_essential_graph_4dof_preserves_roll_pitch(rng):
     chain = m.kf_chain()
     # world z expressed in each camera frame = R_cw @ e_z
     tilt_before = m.kf_pose_cw[chain, :, :3] @ np.array([0, 0, 1.0])
+    pre_poses = {int(k): (m.kf_pose_cw[k, :, :3].copy(),
+                          m.kf_pose_cw[k, :, 3].copy()) for k in chain}
     lc._essential_graph(int(kf_list[-1]), int(kf_list[0]), 1.0,
                         np.eye(3, dtype=np.float32),
-                        np.zeros(3, np.float32))
+                        np.zeros(3, np.float32),
+                        pre_poses, {int(kf_list[-1])})
     tilt_after = m.kf_pose_cw[chain, :, :3] @ np.array([0, 0, 1.0])
     # yaw-only world correction: R_cw' = R_cw Ryaw^T, and Ryaw e_z = e_z,
     # so R_cw' e_z == R_cw e_z exactly for every keyframe
