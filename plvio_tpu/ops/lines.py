@@ -44,21 +44,27 @@ class LineFeatures(NamedTuple):
     valid: jnp.ndarray     # [L]
 
 
-def _gradients(img: jnp.ndarray):
-    """Scharr gradients [H,W] -> gx, gy (same shape, zero border)."""
+def _gradients(img: jnp.ndarray, dtype=jnp.bfloat16):
+    """Scharr gradients [H,W] -> gx, gy (same shape, zero border).
+
+    ONE conv with 2 output channels instead of two convs, computed in
+    bfloat16: the whole image path is HBM-bound, so halving the bytes
+    halves the wall time; bf16's ~3 significant digits are plenty for
+    gradient thresholds, structure-tensor directions, LBD band
+    statistics, and snap centroids (all ratios of like-scaled sums).
+    Downstream math that mixes in f32 operands promotes automatically."""
     kx = jnp.array([[-3., 0., 3.], [-10., 0., 10.], [-3., 0., 3.]]) / 32.0
-    ky = kx.T
-    img4 = img[None, None]
-    gx = jax.lax.conv_general_dilated(img4, kx[None, None], (1, 1), "SAME")[0, 0]
-    gy = jax.lax.conv_general_dilated(img4, ky[None, None], (1, 1), "SAME")[0, 0]
-    return gx, gy
+    k2 = jnp.stack([kx, kx.T])[:, None].astype(dtype)    # [2,1,3,3]
+    g = jax.lax.conv_general_dilated(
+        img.astype(dtype)[None, None], k2, (1, 1), "SAME")[0]
+    return g[0], g[1]
 
 
 def detect_lines(img: jnp.ndarray, max_lines: int = 256,
                  grad_th: float = 12.0, min_cells: int = 3,
                  aniso_th: float = 4.0, angle_tol: float = 0.12,
                  dist_tol: float = 1.5, min_length: float = 12.0,
-                 jump_iters: int = 12):
+                 jump_iters: int = 7):
     """Detect up to `max_lines` segments.  Returns (ep [L,4], angle [L],
     length [L], valid [L]) plus the gradient field for the descriptor.
     """
@@ -75,18 +81,23 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256,
     edge = mag > grad_th
     w = jnp.where(edge, mag, 0.0)
 
-    def cellify(a):
-        return a[:Hc * CELL_PX, :Wc * CELL_PX] \
-            .reshape(Hc, CELL_PX, Wc, CELL_PX).transpose(0, 2, 1, 3) \
-            .reshape(C, CELL_PX * CELL_PX)
-
-    wc_ = cellify(w)
-    gxc = cellify(gx)
-    gyc = cellify(gy)
-    ys = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
-    xs = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
-    xc = cellify(xs)
-    yc = cellify(ys)
+    # ONE stacked transpose for the three image-sized fields (three
+    # separate cellify passes re-read the image each time), and ANALYTIC
+    # per-cell pixel coordinates (an iota needs no [H,W] materialization)
+    g3 = jnp.stack([w, gx, gy])
+    cell3 = g3[:, :Hc * CELL_PX, :Wc * CELL_PX] \
+        .reshape(3, Hc, CELL_PX, Wc, CELL_PX).transpose(0, 1, 3, 2, 4) \
+        .reshape(3, C, CELL_PX * CELL_PX)
+    # transposes ran at bf16 bytes; the [C,16] cell statistics upcast to
+    # f32 so the structure-tensor moments stay exact
+    cell3 = cell3.astype(jnp.float32)
+    wc_, gxc, gyc = cell3[0], cell3[1], cell3[2]
+    cid = jnp.arange(C)
+    sub = jnp.arange(CELL_PX * CELL_PX)
+    xc = ((cid % Wc)[:, None] * CELL_PX
+          + (sub % CELL_PX)[None, :]).astype(jnp.float32)
+    yc = ((cid // Wc)[:, None] * CELL_PX
+          + (sub // CELL_PX)[None, :]).astype(jnp.float32)
 
     wsum = wc_.sum(-1)
     cnt = (wc_ > 0).sum(-1)
@@ -164,9 +175,13 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256,
             cand = jnp.where(link, jnp.roll(lab2, (-dr, -dc), (0, 1)), C)
             best = jnp.minimum(best, cand)
         best = best.reshape(C)
-        # pointer jumping (the one gather per sweep)
+        # pointer jumping, twice per sweep (label[i] <- label[label[i]]
+        # applied to the updated array doubles path compression, so the
+        # scan needs ~log2(longest line in cells) sweeps, not O(length))
         best = jnp.minimum(best, jnp.where(
             best < C, labels[jnp.clip(best, 0, C - 1)], C))
+        best = jnp.minimum(best, jnp.where(
+            best < C, best[jnp.clip(best, 0, C - 1)], C))
         return best
 
     def scan_body(carry, _):
@@ -215,6 +230,8 @@ def detect_lines(img: jnp.ndarray, max_lines: int = 256,
     good_root = is_root & (s_n[idx] >= min_cells) & (length >= min_length)
 
     score = jnp.where(good_root, length, 0.0)
+    # exact top_k: measured FASTER than lax.approx_max_k on the axon
+    # backend for this shape (8.7 vs 11.0 ms/frame whole-detector)
     top_score, top_idx = jax.lax.top_k(score, max_lines)
     valid = top_score > 0.0
     r = top_idx
@@ -457,11 +474,12 @@ def lbd_descriptors(gx: jnp.ndarray, gy: jnp.ndarray, ep: jnp.ndarray,
     x0 = jnp.clip(jnp.round(sx), 0, W - 1).astype(jnp.int32)
     y0 = jnp.clip(jnp.round(sy), 0, H - 1).astype(jnp.int32)
 
-    def samp(img):
-        return img[y0, x0]
-
-    gxs = samp(gx)
-    gys = samp(gy)
+    # one vector gather of (gx, gy) — half the gather ops of two scalar
+    # gathers (gathers are the front end's bottleneck on TPU)
+    G = jnp.stack([gx, gy], -1)                           # [H,W,2]
+    gs = G[y0, x0]
+    gxs = gs[..., 0]
+    gys = gs[..., 1]
     # gradient projections in the line frame
     g_par = gxs * ux[:, None, None] + gys * uy[:, None, None]
     g_perp = gxs * nx_[:, None, None] + gys * ny_[:, None, None]
@@ -611,7 +629,6 @@ def refine_segments(gx: jnp.ndarray, gy: jnp.ndarray, ep: jnp.ndarray,
     this from LSD's region refinement, src/LSD/lsd.cpp `refine`).
     """
     H, W = gx.shape
-    mag = jnp.sqrt(gx * gx + gy * gy)
     L = ep.shape[0]
     d = ep[:, 2:] - ep[:, :2]
     seg_len = jnp.sqrt(jnp.sum(d * d, -1))
@@ -623,31 +640,20 @@ def refine_segments(gx: jnp.ndarray, gy: jnp.ndarray, ep: jnp.ndarray,
     off = jnp.linspace(-search_r, search_r, n_search)     # [O]
     pts = base[:, :, None, :] + off[None, None, :, None] * nrm[:, None, None, :]
 
-    def bilinear(a, xy):
-        x = jnp.clip(xy[..., 0], 0.0, W - 1.001)
-        y = jnp.clip(xy[..., 1], 0.0, H - 1.001)
-        x0 = jnp.floor(x).astype(jnp.int32)
-        y0 = jnp.floor(y).astype(jnp.int32)
-        fx_ = x - x0
-        fy_ = y - y0
-        v00 = a[y0, x0]
-        v01 = a[y0, x0 + 1]
-        v10 = a[y0 + 1, x0]
-        v11 = a[y0 + 1, x0 + 1]
-        return (v00 * (1 - fx_) * (1 - fy_) + v01 * fx_ * (1 - fy_)
-                + v10 * (1 - fx_) * fy_ + v11 * fx_ * fy_)
-
-    m = bilinear(mag, pts)                                # [L,S,O]
-    # weight by alignment: only edges whose gradient is parallel to the
-    # segment normal belong to this line (nearest-neighbour sampling —
-    # a 0/1 gate needs no sub-pixel interpolation, and each bilinear
-    # read costs 4 TPU gathers)
+    # ONE nearest-neighbour gather of (gx, gy) serves both the magnitude
+    # weight and the alignment gate (the magnitude feeds a CENTROID over
+    # a +-2.5 px window — sub-pixel interpolation of the weight moves
+    # the centroid by far less than the snap resolution, while bilinear
+    # costs 4 gathers per sample on TPU and was the stage's hot spot)
     xr = jnp.clip(jnp.round(pts[..., 0]), 0, W - 1).astype(jnp.int32)
     yr = jnp.clip(jnp.round(pts[..., 1]), 0, H - 1).astype(jnp.int32)
-    gxs = gx[yr, xr]
-    gys = gy[yr, xr]
-    gdot = jnp.abs(gxs * nrm[:, None, None, 0] + gys * nrm[:, None, None, 1])
+    G = jnp.stack([gx, gy], -1)
+    gs = G[yr, xr]
+    gxs = gs[..., 0]
+    gys = gs[..., 1]
     gnorm = jnp.sqrt(gxs * gxs + gys * gys)
+    m = gnorm                                             # [L,S,O]
+    gdot = jnp.abs(gxs * nrm[:, None, None, 0] + gys * nrm[:, None, None, 1])
     align = gdot / jnp.maximum(gnorm, 1e-6)
     w = m * jnp.where(align > 0.85, 1.0, 0.0)
     wsum = w.sum(-1)                                      # [L,S]
