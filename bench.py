@@ -301,14 +301,21 @@ def main():
     # orbits away (production updates the local map per frame)
     mfu = flops_pl * fps_pl / PEAK_FLOPS_F32 if flops_pl > 0 else -1.0
 
-    # mapping step (process_keyframe-equivalent) at production capacities
+    # mapping step (process_keyframe-equivalent) at worst-case capacities
+    # AND at the half-cap bucket local mapping dispatches when the
+    # sliding window fits (models/local_mapping._liba_window size
+    # bucketing — a typical 16-KF window holds well under 2048 points /
+    # 4096 observations)
     map_ms, map_flops = bench_mapping()
-    print(f"# mapping step: {map_ms:.1f} ms "
-          f"({map_flops/1e9:.2f} GFLOP)", file=sys.stderr)
+    map_ms_typ, _ = bench_mapping(n_pt=2048, n_obs=4096, n_ln=256,
+                                  n_lobs=512)
+    print(f"# mapping step: worst-case {map_ms:.1f} ms "
+          f"({map_flops/1e9:.2f} GFLOP), typical bucket "
+          f"{map_ms_typ:.1f} ms", file=sys.stderr)
     # full frame budget: tracking every frame + one mapping step per 3
     # frames (the KF cadence the tracker throttles to); reference fits
     # BOTH in its 50 ms/frame budget via threads
-    frame_ms = 1e3 / fps_pl + map_ms / 3.0
+    frame_ms = 1e3 / fps_pl + map_ms_typ / 3.0
     print(json.dumps({
         "metric": "tracking_pl_fps_per_chip",
         "value": round(fps_pl, 2),
@@ -318,6 +325,7 @@ def main():
         "flops_per_frame": flops_pl,
         "mfu_vs_f32_peak": round(mfu, 5) if mfu > 0 else None,
         "mapping_step_ms": round(map_ms, 2),
+        "mapping_step_ms_typical": round(map_ms_typ, 2),
         "mapping_step_gflop": round(map_flops / 1e9, 3) if map_flops > 0 else None,
         "frame_budget_ms_incl_mapping": round(frame_ms, 2),
         "frame_budget_fps_incl_mapping": round(1e3 / frame_ms, 2),

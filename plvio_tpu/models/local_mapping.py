@@ -15,6 +15,7 @@ Call parity (reference file:line):
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -122,6 +123,7 @@ class LocalMapper:
                 self.ba_K, ba_kf_cap, ba_pt_cap, ba_obs_cap,
                 self.R_cb, self.t_cb, cfg.imu.gravity,
                 n_ln=self.liba_ln_cap, n_lobs=self.liba_lobs_cap)
+            self._liba_kernel_half = None    # lazy half-cap bucket
             self._kf_since_init = 0
             self._viba = {}   # map_id -> VIBA pulse state
             # wide VIBA kernel (lazy: big compile, used for the 5 s
@@ -439,6 +441,12 @@ class LocalMapper:
         if created:
             self.recent_pts.append(np.concatenate(created))
             m.update_covisibility(kf)
+        if os.environ.get("PLVIO_TRACE"):
+            n_new = sum(len(c) for c in created)
+            n_free = int((m.kf_feat_valid[kf]
+                          & (m.kf_match_pt[kf] == INVALID)).sum())
+            print(f"[map] kf={kf} tri={n_new} unbound={n_free} "
+                  f"nbrs={len(neighbors)}", flush=True)
 
     def cull_lines(self) -> None:
         """Map-line culling (reference MapLineCulling,
@@ -1243,6 +1251,20 @@ class LocalMapper:
         obs_uv = np.concatenate(obs_uv)[:obs_cap]
         obs_is2 = np.concatenate(obs_is2)[:obs_cap]
         n_obs = len(obs_kf)
+
+        # size bucketing: the windowed solve cost is obs/landmark-linear
+        # (B-matrix assembly + Schur einsums scale with the PADDED caps),
+        # and a typical sliding window fills well under half the
+        # worst-case caps — dispatch a half-cap compile when it fits
+        if not big and len(pt_ids) <= pt_cap // 2 \
+                and n_obs <= obs_cap // 2:
+            pt_cap, obs_cap = pt_cap // 2, obs_cap // 2
+            if self._liba_kernel_half is None:
+                self._liba_kernel_half = KN.make_local_inertial_ba(
+                    self.ba_K, cap, pt_cap, obs_cap,
+                    self.R_cb, self.t_cb, self.cfg.imu.gravity,
+                    n_ln=ln_cap, n_lobs=lobs_cap)
+            kernel = self._liba_kernel_half
 
         def pad(a, capn, fill=0):
             out = np.full((capn,) + a.shape[1:], fill, a.dtype)

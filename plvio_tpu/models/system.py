@@ -335,6 +335,12 @@ class System:
                     and t.last_kf_frame_idx == t.frame_idx \
                     and self.mapper.pending_transform is None \
                     and np.isfinite(m.kf_pose_cw[kf]).all():
+                if os.environ.get("PLVIO_TRACE"):
+                    d = np.linalg.norm(m.kf_pose_cw[kf][:, 3]
+                                       - t.last_pose_cw[:, 3])
+                    if d > 0.02:
+                        print(f"[trace] resync kf={kf} moved pose by "
+                              f"{d:.3f}", flush=True)
                 t.last_pose_cw = m.kf_pose_cw[kf].copy()
                 # the carried VI marginalization prior linearized the
                 # pre-BA state — drop it (reference switches to the

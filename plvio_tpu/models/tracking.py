@@ -934,6 +934,7 @@ class Tracker:
             # prior is live; LastKeyFrame (fixed-prev) otherwise
             have_prior = (self.prior_H15 is not None
                           and self._prior_frame_idx == self.frame_idx - 1)
+            self._last_have_prior = have_prior
             if have_prior:
                 prior_info = jnp.asarray(self.prior_H15, jnp.float32)
             else:
@@ -1060,11 +1061,62 @@ class Tracker:
                 jnp.asarray(pose_pred), uv_m, jnp.asarray(xyz), matched, is2)
         n_inliers = int(n_inl)
         if os.environ.get("PLVIO_TRACE"):
+            # ni_pred: inliers AT the prediction — separates "prediction/
+            # matching wrong" (ni_pred low) from "optimizer diverged"
+            # (ni_pred high, ni low)
+            pp = np.asarray(pose_pred)
+            pc_ = np.asarray(xyz) @ pp[:, :3].T + pp[:, 3]
+            zz = np.maximum(pc_[:, 2], 1e-4)
+            prj = np.stack([self.K.fx * pc_[:, 0] / zz + self.K.cx,
+                            self.K.fy * pc_[:, 1] / zz + self.K.cy], -1)
+            c2p = np.sum((prj - np.asarray(uv_m)) ** 2, -1) \
+                * np.asarray(is2)
+            nip = int((np.asarray(matched) & (c2p < 5.991)
+                       & (pc_[:, 2] > 0.05)).sum())
+            po = np.asarray(pose)
+            dtp = float(np.linalg.norm(po[:, 3] - pp[:, 3]))
+            hp = int(getattr(self, "_last_have_prior", False))
+            nf = int(np.asarray(feats.valid).sum())
+            nloc = int(np.asarray(live).sum())
             print(f"[trace] f={self.frame_idx} st={self.state.name} "
-                  f"ref={self.ref_kf} nm={n_matched} ni={n_inliers} "
+                  f"ref={self.ref_kf} nf={nf} nloc={nloc} "
+                  f"nm={n_matched} ni={n_inliers} "
+                  f"nip={nip} dtp={dtp:.3f} pr={hp} "
                   f"vi={vi_mode} |v|={np.linalg.norm(self.frame_vel):.2f} "
                   f"|bg|={np.linalg.norm(self.frame_bg):.4f} "
                   f"|ba|={np.linalg.norm(self.frame_ba):.3f}", flush=True)
+        if vi_mode and n_inliers < self.cfg.tracking.min_inliers_track:
+            # visual-inertial divergence guard: the optimizer rejected
+            # nearly everything, but if the raw IMU PREDICTION still
+            # explains the matches, the failure is the solve (a bad
+            # prior/linearization after a large map update — observed
+            # once on the 28 s circuit: ni collapsed 158 -> 2 right
+            # after a 2k-landmark capacity cull while the matches stayed
+            # valid), not the prediction.  Keep the predicted state for
+            # this frame instead of dropping to RECENTLY_LOST (the
+            # dead-reckon bridge in _handle_lost remains the fallback
+            # when even the prediction fails).
+            pp = np.asarray(pose_pred)
+            pc_ = np.asarray(xyz) @ pp[:, :3].T + pp[:, 3]
+            zz = np.maximum(pc_[:, 2], 1e-4)
+            prj = np.stack([self.K.fx * pc_[:, 0] / zz + self.K.cx,
+                            self.K.fy * pc_[:, 1] / zz + self.K.cy], -1)
+            c2p = np.sum((prj - np.asarray(uv_m)) ** 2, -1) \
+                * np.asarray(is2)
+            inl_pred = np.asarray(matched) & (c2p < 5.991) \
+                & (pc_[:, 2] > 0.05)
+            nip = int(inl_pred.sum())
+            if nip >= max(self.cfg.tracking.min_inliers_track, 15):
+                print(f"[track] f={self.frame_idx}: pose opt diverged "
+                      f"(ni={n_inliers}) but prediction holds "
+                      f"(nip={nip}) — keeping predicted state",
+                      flush=True)
+                pose = jnp.asarray(pp)
+                inlier = jnp.asarray(inl_pred)
+                n_inliers = nip
+                self.frame_vel = np.asarray(self._pred_vel)
+                self.frame_bg, self.frame_ba = bg_in, ba_in
+                self.invalidate_vi_prior()
         if n_inliers < self.cfg.tracking.min_inliers_track:
             self.frame_bg, self.frame_ba = bg_in, ba_in
             self.frame_vel = vel_in

@@ -450,11 +450,48 @@ class Problem:
 
         return new_states, cost, chi2s
 
+    def _residuals_only(self, term: Term, states):
+        """Evaluate a term's whitened chi2 WITHOUT Jacobians — cost
+        evaluation inside the LM accept/reject loop doesn't need J, and
+        jacfwd with n tangents costs ~n residual evaluations."""
+        refs = list(term.dense_refs) + ([term.lm_ref] if term.lm_ref else [])
+        gathered = tuple(states[name][idx] for name, idx in refs)
+        dofs = [self._dofs[name] for name, _ in refs]
+        splits = np.cumsum(dofs)[:-1].tolist()
+        n = int(np.sum(dofs))
+        K = refs[0][1].shape[0]
+        zeros = jnp.zeros((K, n), jnp.float32)
+
+        def f_single(delta_concat, blocks, const):
+            deltas = tuple(jnp.split(delta_concat, splits)) if splits \
+                else (delta_concat,)
+            return term.res_fn(blocks, deltas, const)
+
+        r = jax.vmap(f_single)(zeros, gathered, term.const)
+        if term.info is not None:
+            info = term.info
+            if info.ndim == 1:
+                r = r * jnp.sqrt(info)[:, None]
+            elif info.ndim == 2:
+                r = r * jnp.sqrt(info)
+            else:
+                L = jnp.linalg.cholesky(info)
+                r = jnp.einsum("kij,kj->ki", jnp.swapaxes(L, -1, -2), r)
+        chi2 = jnp.sum(r * r, axis=-1)
+        if term.robust_delta > 0:
+            s = jnp.sqrt(jnp.maximum(chi2, 1e-18))
+            w = jnp.minimum(1.0, term.robust_delta / s)
+        else:
+            w = jnp.ones_like(chi2)
+        if term.mask is not None:
+            w = w * term.mask.astype(w.dtype)
+        return w, chi2
+
     def cost(self, states):
         total = jnp.float32(0.0)
         chi2s = {}
         for term in self.terms:
-            r, J, w, chi2, _ = self._linearize(term, states)
+            w, chi2 = self._residuals_only(term, states)
             chi2s[term.name] = chi2
             total = total + jnp.sum(w * chi2)
         return total, chi2s
