@@ -640,7 +640,7 @@ def make_line_pair_matcher(n_line_feat: int):
 
 def make_local_ba_pl(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                      n_ln: int, n_lobs: int, rounds: int = 2,
-                     iters: int = 8):
+                     iters: int = 8, early_tol: float = 1e-3):
     """Local BA over points AND line-endpoint landmarks (reference
     LocalBundleAdjustmentwithLine, src/Optimizer.cc:4385): adds a 6-DoF
     line family with endpoint-to-line residuals, Schur-eliminated like
@@ -674,7 +674,7 @@ def make_local_ba_pl(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                 const={"l": lobs_eq}, mask=mask_l, info=lobs_is2,
                 robust_delta=float(np.sqrt(CHI2_MONO))))
             states, _, chi2s = E.optimize(
-                prob, states, iters=iters,
+                prob, states, iters=iters, early_tol=early_tol,
                 dense_free_mask={"pose": kf_free},
                 lm_free_mask={"pt": pt_free, "ln": ln_free})
             mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)
@@ -1177,7 +1177,8 @@ def make_inertial_init(gravity: float, n_kf: int, iters: int = 20,
 def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                            Rcb, tcb, gravity: float,
                            rounds: int = 2, iters: int = 8,
-                           n_ln: int = 0, n_lobs: int = 0):
+                           n_ln: int = 0, n_lobs: int = 0,
+                           early_tol: float = 1e-3):
     """Sliding-window visual-inertial BA (reference LocalInertialBA,
     src/Optimizer.cc:9185): per-KF 15-DoF states (pose_wb, vel, bg, ba),
     inertial + bias-RW edges along the temporal chain, visual edges to
@@ -1260,8 +1261,8 @@ def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                 dense_refs=[("ba", idx1), ("ba", idx2)],
                 const=None, mask=edge_valid, info=rw_info_a))
             states, _, chi2s = E.optimize(
-                prob, states, iters=iters, dense_free_mask=free,
-                lm_free_mask=lm_free)
+                prob, states, iters=iters, early_tol=early_tol,
+                dense_free_mask=free, lm_free_mask=lm_free)
             mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)
             if with_lines:
                 mask_l = lobs_valid & (chi2s["line"] < CHI2_MONO)
@@ -1275,7 +1276,8 @@ def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
 
 
 def make_local_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
-                  rounds: int = 2, iters: int = 8):
+                  rounds: int = 2, iters: int = 8,
+                  early_tol: float = 1e-3):
     """Windowed local BA (reference LocalBundleAdjustment,
     src/Optimizer.cc:4851): optimizable + fixed KFs, Schur-eliminated
     points, two rounds with chi2 re-gating between them.
@@ -1301,7 +1303,7 @@ def make_local_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                 const={"uv": obs_uv}, mask=mask, info=obs_is2,
                 robust_delta=float(np.sqrt(CHI2_MONO))))
             states, _, chi2s = E.optimize(
-                prob, states, iters=iters,
+                prob, states, iters=iters, early_tol=early_tol,
                 dense_free_mask={"pose": kf_free},
                 lm_free_mask={"pt": pt_free})
             mask = obs_valid & (chi2s["reproj"] < CHI2_MONO)

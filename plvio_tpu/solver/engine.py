@@ -498,7 +498,8 @@ class Problem:
 
 
 def optimize(problem: Problem, states, iters: int = 10, lam0: float = 1e-4,
-             dense_free_mask=None, lm_free_mask=None):
+             dense_free_mask=None, lm_free_mask=None,
+             early_tol: float = 0.0):
     """Fixed-trip-count LM loop with branchless accept/reject.
 
     Mirrors `optimizer.optimize(n)` (reference pattern used ~40x in
@@ -508,7 +509,16 @@ def optimize(problem: Problem, states, iters: int = 10, lam0: float = 1e-4,
     steps (2 linearizations per iteration).  A deferred-accept variant
     (one linearization per iteration) was tried and removed: its
     reject->re-accept cycle halves the damping right after raising it,
-    so damping never grows and hard BA problems stall."""
+    so damping never grows and hard BA problems stall.
+
+    `early_tol > 0` turns the scan into a device-side while_loop that
+    exits once an ACCEPTED step improves the cost by less than
+    `early_tol` relative (g2o's terminate-action analog: the reference's
+    optimize(n) also stops early on chi2 stagnation).  Warm-started
+    incremental window BA — re-solved every keyframe on an
+    almost-converged window — then costs 2-4 linearizations instead of
+    the full budget, which is the mapping-step hot path.  Rejected
+    steps never exit (they raise damping and retry)."""
 
     def body(carry, _):
         states, lam, cost_prev = carry
@@ -524,8 +534,26 @@ def optimize(problem: Problem, states, iters: int = 10, lam0: float = 1e-4,
         return (states_out, lam_out, cost_out), None
 
     cost0, _ = problem.cost(states)
-    (states, lam, cost), _ = jax.lax.scan(
-        body, (states, jnp.float32(lam0), cost0), None, length=iters)
+    if early_tol > 0.0:
+        def w_cond(carry):
+            _, _, _, i, done = carry
+            return (i < iters) & jnp.logical_not(done)
+
+        def w_body(carry):
+            st, lam, cost_prev, i, _ = carry
+            (st2, lam2, cost2), _ = body((st, lam, cost_prev), None)
+            accepted = cost2 < cost_prev
+            rel = (cost_prev - cost2) / jnp.maximum(cost_prev, 1e-20)
+            done = accepted & (rel < early_tol)
+            return (st2, lam2, cost2, i + 1, done)
+
+        states, lam, cost, _, _ = jax.lax.while_loop(
+            w_cond, w_body,
+            (states, jnp.float32(lam0), cost0, jnp.int32(0),
+             jnp.bool_(False)))
+    else:
+        (states, lam, cost), _ = jax.lax.scan(
+            body, (states, jnp.float32(lam0), cost0), None, length=iters)
     final_cost, chi2s = problem.cost(states)
     return states, final_cost, chi2s
 
