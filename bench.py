@@ -194,14 +194,31 @@ def build_mapping_step(n_kf: int = 16, n_pt: int = 4096,
     desc = rng.integers(0, 2 ** 32, (n_feat, 8), dtype=np.uint32)
     ang = rng.uniform(0, 2 * np.pi, n_feat).astype(np.float32)
 
-    # line landmarks for the PL window
+    # line landmarks for the PL window — observations must be
+    # geometrically CONSISTENT (projections of the 3D endpoints, like a
+    # real window): random line equations make the solve pathological
+    # (NaN/overshoot LM churn) and time a problem production never sees
     ln_ep6 = np.concatenate(
         [X[:n_ln], X[:n_ln] + rng.normal(0, 0.5, (n_ln, 3))],
         -1).astype(np.float32)
     lobs_kf = rng.integers(0, n_kf, n_lobs).astype(np.int32)
     lobs_ln = rng.integers(0, n_ln, n_lobs).astype(np.int32)
-    leq = rng.normal(0, 1, (n_lobs, 3)).astype(np.float32)
-    leq[:, :2] /= np.maximum(
+    Rl = kf_poses[lobs_kf, :, :3]
+    tl = kf_poses[lobs_kf, :, 3]
+    pa = np.einsum("oij,oj->oi", Rl, ln_ep6[lobs_ln, :3]) + tl
+    pb = np.einsum("oij,oj->oi", Rl, ln_ep6[lobs_ln, 3:]) + tl
+    za = np.maximum(pa[:, 2], 1e-3)
+    zb = np.maximum(pb[:, 2], 1e-3)
+    uva = np.stack([K.fx * pa[:, 0] / za + K.cx,
+                    K.fy * pa[:, 1] / za + K.cy], -1)
+    uvb = np.stack([K.fx * pb[:, 0] / zb + K.cx,
+                    K.fy * pb[:, 1] / zb + K.cy], -1)
+    uva += rng.normal(0, 0.5, uva.shape)
+    uvb += rng.normal(0, 0.5, uvb.shape)
+    ha = np.concatenate([uva, np.ones((n_lobs, 1))], 1)
+    hb = np.concatenate([uvb, np.ones((n_lobs, 1))], 1)
+    leq = np.cross(ha, hb).astype(np.float32)
+    leq /= np.maximum(
         np.linalg.norm(leq[:, :2], axis=1, keepdims=True), 1e-6)
 
     epi = KN.make_epipolar_matcher(K, n_feat)

@@ -496,10 +496,21 @@ def make_mh_trajectory(duration: float = 60.0,
 def _eval_mh_loop(t: np.ndarray) -> SyntheticTrajectory:
     """MH-style CLOSED CIRCUIT: stationary start + excitation wiggle,
     then a full orbit of the hall looking outward that returns to the
-    starting view at ~t=20 s — the revisit the straight MH sweep never
+    starting view at ~t=26 s — the revisit the straight MH sweep never
     makes, so loop closing (detection, Sim3, 4DoF graph, GBA) can be
     exercised end-to-end on realistic imagery.  C-infinity smooth so the
-    finite-difference IMU synthesis stays consistent."""
+    finite-difference IMU synthesis stays consistent.
+
+    The orbit carries EuRoC-like excitation (radius/speed/height
+    modulation, ~0.3 m/s^2): a CONSTANT-speed circle is a known
+    degenerate trajectory for monocular VI — the gyro pins the yaw rate
+    w but v = w*r leaves the radius (metric scale) free, and the
+    centripetal acceleration is constant in the body frame, absorbable
+    as accelerometer bias.  Measured on the unmodulated circle: the
+    estimate inflated ~8x over 15 s while every recent-chain inertial
+    residual stayed consistent (scale-refine pulses reported s=1).
+    Real MH sequences never fly constant circles.  All modulation
+    periods divide the revisit time so the start pose recurs exactly."""
     t = np.asarray(t, np.float64)
     a, b = 4.0, 1.5
     # s(t) = integral of the smooth ramp 0.5(1+tanh((u-a)/b)):
@@ -508,10 +519,14 @@ def _eval_mh_loop(t: np.ndarray) -> SyntheticTrajectory:
         - 0.5 * (0.0 + b * np.log(np.cosh(-a / b)))
     wig = np.exp(-0.5 * ((t - 2.0) / 0.6) ** 2)
     w_orb = 2 * np.pi / 22.0          # full circle once s(t) reaches 22
-    th = w_orb * s
-    r = 2.0
+    ramp = 0.5 * (1 + np.tanh((t - a) / b))
+    # angular-speed modulation (zero at t=26: 26/13=2 full periods)
+    th = w_orb * (s + 0.5 * ramp * np.sin(2 * np.pi * t / 13.0))
+    # radius modulation (zero at t=26: 26/6.5=4 full periods)
+    r = 2.0 + 0.30 * ramp * np.sin(2 * np.pi * t / 6.5)
+    # height bob (zero at t=26: 26/5.2=5 full periods)
     p = np.stack([r * np.cos(th), r * np.sin(th),
-                  -0.5 + 0.10 * np.sin(2 * np.pi * t / 11.0)], -1)
+                  -0.5 + 0.22 * ramp * np.sin(2 * np.pi * t / 5.2)], -1)
     p[:, 0] += 0.10 * wig * np.sin(2 * np.pi * 1.9 * t)
     p[:, 1] += 0.08 * wig * np.sin(2 * np.pi * 2.3 * t + 0.5)
     p[:, 2] += 0.06 * wig * np.sin(2 * np.pi * 1.6 * t + 1.1)
@@ -541,10 +556,12 @@ def _eval_mh_loop_pos(t: np.ndarray) -> np.ndarray:
     s = 0.5 * (t + b * np.log(np.cosh((t - a) / b))) \
         - 0.5 * (0.0 + b * np.log(np.cosh(-a / b)))
     wig = np.exp(-0.5 * ((t - 2.0) / 0.6) ** 2)
-    th = (2 * np.pi / 22.0) * s
-    r = 2.0
+    ramp = 0.5 * (1 + np.tanh((t - a) / b))
+    th = (2 * np.pi / 22.0) \
+        * (s + 0.5 * ramp * np.sin(2 * np.pi * t / 13.0))
+    r = 2.0 + 0.30 * ramp * np.sin(2 * np.pi * t / 6.5)
     p = np.stack([r * np.cos(th), r * np.sin(th),
-                  -0.5 + 0.10 * np.sin(2 * np.pi * t / 11.0)], -1)
+                  -0.5 + 0.22 * ramp * np.sin(2 * np.pi * t / 5.2)], -1)
     p[:, 0] += 0.10 * wig * np.sin(2 * np.pi * 1.9 * t)
     p[:, 1] += 0.08 * wig * np.sin(2 * np.pi * 2.3 * t + 0.5)
     p[:, 2] += 0.06 * wig * np.sin(2 * np.pi * 1.6 * t + 1.1)

@@ -1074,6 +1074,27 @@ class LocalMapper:
         win = chain[-W:]
         free = np.zeros(len(win), bool)
         free[1:] = True         # anchor = oldest window KF
+        # FIXED visual observers (reference LocalInertialBA's
+        # lFixedKeyFrames, src/Optimizer.cc:9284: up to 200 fixed KFs
+        # observing the window's points join with reprojection edges
+        # only).  Without them the window solve can re-scale shared
+        # landmarks every keyframe and monocular scale random-walks on
+        # exploration trajectories (observed on the hall orbit: |v|
+        # inflating 5x over 8 s while every in-window residual stayed
+        # consistent).  The spare kernel slots take the most-covisible
+        # older KFs; their inertial edges are masked off in
+        # _liba_window (non-consecutive chain entries).
+        rest = chain[:-W]
+        spare = self.ba_kf_cap - len(win)
+        if len(rest) and spare > 0:
+            wts = m.covis[np.ix_(rest, win)].sum(1)
+            order = np.argsort(-wts)[:spare]
+            extra = rest[order][wts[order] > 0]
+            if len(extra):
+                extra = extra[np.argsort(m.kf_timestamp[extra])]
+                win = np.concatenate([extra, win])
+                free = np.concatenate(
+                    [np.zeros(len(extra), bool), free])
         self._liba_window(win, free)
 
     def _viba_pulse_step(self, st: dict, sweeps: int = 2,
@@ -1221,7 +1242,13 @@ class LocalMapper:
         rw_a = np.zeros(cap - 1, np.float32)
         for i in range(cap - 1):
             p = preints[i] if i < len(preints) else None
-            if p is not None and float(p.dT) > 1e-4:
+            # an inertial edge is only valid between CHAIN-CONSECUTIVE
+            # window entries: the preint stored at win[i+1] spans from
+            # its true temporal predecessor, so fixed visual observers
+            # spliced into the window (local_inertial_ba) or culled-KF
+            # gaps must not get a bogus edge
+            consec = i + 1 < n and int(m.kf_prev[win[i + 1]]) == int(win[i])
+            if p is not None and float(p.dT) > 1e-4 and consec:
                 C9 = np.asarray(p.C)[:9, :9] + np.eye(9) * 1e-8
                 infos.append(np.linalg.inv(C9))
                 edge_valid[i] = True

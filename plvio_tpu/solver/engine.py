@@ -182,6 +182,77 @@ def inv_blocks(A: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.inv(A)
 
 
+def _chol3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 Cholesky (lower L, A = L L^T): pure VPU
+    arithmetic like _inv3 (jnp.linalg.cholesky lowers to scalarizing
+    batched kernels on TPU).  Inputs must be damped SPD; sqrt args are
+    floored to keep padded/identity blocks finite."""
+    eps = 1e-20
+    a11, a21, a31 = A[..., 0, 0], A[..., 1, 0], A[..., 2, 0]
+    a22, a32, a33 = A[..., 1, 1], A[..., 2, 1], A[..., 2, 2]
+    l11 = jnp.sqrt(jnp.maximum(a11, eps))
+    l21 = a21 / l11
+    l31 = a31 / l11
+    l22 = jnp.sqrt(jnp.maximum(a22 - l21 * l21, eps))
+    l32 = (a32 - l31 * l21) / l22
+    l33 = jnp.sqrt(jnp.maximum(a33 - l31 * l31 - l32 * l32, eps))
+    z = jnp.zeros_like(l11)
+    return jnp.stack([jnp.stack([l11, z, z], -1),
+                      jnp.stack([l21, l22, z], -1),
+                      jnp.stack([l31, l32, l33], -1)], -2)
+
+
+def _tri_inv3(L: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of batched lower-triangular 3x3 blocks."""
+    l11, l21, l31 = L[..., 0, 0], L[..., 1, 0], L[..., 2, 0]
+    l22, l32, l33 = L[..., 1, 1], L[..., 2, 1], L[..., 2, 2]
+    i11 = 1.0 / l11
+    i22 = 1.0 / l22
+    i33 = 1.0 / l33
+    i21 = -l21 * i11 * i22
+    i32 = -l32 * i22 * i33
+    i31 = (l21 * l32 - l31 * l22) * i11 * i22 * i33
+    z = jnp.zeros_like(i11)
+    return jnp.stack([jnp.stack([i11, z, z], -1),
+                      jnp.stack([i21, i22, z], -1),
+                      jnp.stack([i31, i32, i33], -1)], -2)
+
+
+def chol_invT_blocks(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched factor F with F F^T = A^{-1} for damped-SPD 3x3 or 6x6
+    blocks: F = (chol(A))^{-T}.
+
+    Used for the GRAM-form Schur fill-in H - (B F)(B F)^T: computing
+    the fill-in as one Gram matmul instead of B·A^{-1}·B^T keeps the
+    f32 assembly error at the rounding level (measured 16 vs 2e7
+    absolute on the windowed PL-BA reduced system, whose smallest
+    eigenvalues sit BELOW the direct form's noise floor — the system
+    went numerically indefinite and CG returned NaN at low damping)."""
+    d = A.shape[-1]
+    if d == 3:
+        return jnp.swapaxes(_tri_inv3(_chol3(A)), -1, -2)
+    if d == 6:
+        A11 = A[..., :3, :3]
+        A21 = A[..., 3:, :3]
+        A22 = A[..., 3:, 3:]
+        L11 = _chol3(A11)
+        L11i = _tri_inv3(L11)
+        L21 = A21 @ jnp.swapaxes(L11i, -1, -2)
+        S22 = A22 - L21 @ jnp.swapaxes(L21, -1, -2)
+        L22 = _chol3(S22)
+        L22i = _tri_inv3(L22)
+        # inv of [[L11,0],[L21,L22]] = [[L11i,0],[-L22i L21 L11i, L22i]]
+        BLi = -L22i @ L21 @ L11i
+        z = jnp.zeros_like(L11)
+        Li = jnp.concatenate([
+            jnp.concatenate([L11i, z], -1),
+            jnp.concatenate([BLi, L22i], -1)], -2)
+        return jnp.swapaxes(Li, -1, -2)
+    # fallback: dense cholesky (host-grade sizes only)
+    L = jnp.linalg.cholesky(A)
+    return jnp.swapaxes(jnp.linalg.inv(L), -1, -2)
+
+
 def _cg_solve(H: jnp.ndarray, g: jnp.ndarray, iters: int) -> jnp.ndarray:
     """Fixed-trip-count conjugate gradients for the SPD reduced camera
     system — pure matmul/VPU arithmetic, MXU-friendly and safe inside
@@ -402,21 +473,52 @@ class Problem:
                 gp = gp * lf[:, None]
             dl = fam.dof
             dpp = jnp.einsum("pii->pi", Hpp)
-            Hpp_d = Hpp + jax.vmap(jnp.diag)(dpp * lam + 1e-6)
+            # scale-aware damping floor (g2o's tau*max(H_ii) analog,
+            # per landmark block): landmark families have structural
+            # null directions — a line endpoint sliding along its line,
+            # a low-parallax point's depth — where the diagonal is ~0,
+            # so multiplicative damping alone leaves the block inverse
+            # ~1/eps.  Those huge Dinv entries amplify f32 cancellation
+            # in the Schur fill-in until the reduced camera system goes
+            # INDEFINITE and CG returns NaN (observed at lam<=3e-3 on
+            # the windowed PL-BA).  Flooring at 1e-3 of the block's own
+            # diagonal scale freezes null directions without biasing
+            # well-constrained ones (1e-4: the Gram-form fill-in below
+            # carries most of the stability; the floor only has to keep
+            # the factor bounded).
+            floor = 1e-4 * jnp.mean(dpp, axis=-1, keepdims=True)
+            Hpp_d = Hpp + jax.vmap(jnp.diag)(dpp * lam + floor + 1e-6)
             # mask out empty landmarks so inverse is safe
             occupied = dpp.sum(-1) > 1e-9
             if lfree is not None:
                 occupied = occupied & lfree
             eye = jnp.eye(dl, dtype=jnp.float32)
             Hpp_d = jnp.where(occupied[:, None, None], Hpp_d, eye[None])
-            Dinv = inv_blocks(Hpp_d)
-            Dinv = jnp.where(occupied[:, None, None], Dinv, 0.0)
+            # GRAM-form fill-in: F F^T = Hpp_d^{-1}, G = B F, and the
+            # fill-in is the single Gram matmul G G^T — measured 1e6x
+            # lower f32 assembly error than B·Dinv·B^T (whose noise
+            # floor exceeded the reduced system's smallest eigenvalues:
+            # numerically indefinite -> CG NaN at low damping).
+            Ffac = chol_invT_blocks(Hpp_d)
+            # conditioning guard: a rank-deficient block that slips
+            # past the occupied gate yields a garbage (huge or
+            # non-finite) factor at low damping — one such block NaNs
+            # the whole step.  Hold those landmarks fixed for this
+            # iteration instead (LM raises damping on the retry).
+            blk_ok = jnp.all(jnp.isfinite(Ffac), axis=(-2, -1)) \
+                & (jnp.max(jnp.abs(Ffac), axis=(-2, -1)) < 1e3)
+            occupied = occupied & blk_ok
+            Ffac = jnp.where(occupied[:, None, None], Ffac, 0.0)
+            Dinv = jnp.einsum("pij,pkj->pik", Ffac, Ffac)
             B3 = B.reshape(S, fam.count, dl)
             if lfree is not None:
                 B3 = B3 * lfree.astype(jnp.float32)[None, :, None]
-            BD = jnp.einsum("spi,pij->spj", B3, Dinv)
-            H = H - jnp.einsum("spi,tpi->st", BD, B3)
-            rhs = rhs - jnp.einsum("spi,pi->s", BD, gp)
+            G = jnp.einsum("spi,pij->spj", B3, Ffac)
+            Gm = G.reshape(S, fam.count * dl)
+            H = H - jax.lax.dot(Gm, Gm.T,
+                                precision=jax.lax.Precision.HIGH)
+            rhs = rhs - jnp.einsum(
+                "spj,pj->s", G, jnp.einsum("pij,pi->pj", Ffac, gp))
             schur_data[name] = (Dinv, B3, gp, occupied)
 
         # freeze fixed dense blocks AFTER the reduction: zero their
@@ -535,22 +637,40 @@ def optimize(problem: Problem, states, iters: int = 10, lam0: float = 1e-4,
 
     cost0, _ = problem.cost(states)
     if early_tol > 0.0:
+        # the done flag is carried as FLOAT, not bool: bool loop
+        # carries miscompile on the axon TPU backend (same reason the
+        # LM accept/reject gates are branchless float selects)
         def w_cond(carry):
             _, _, _, i, done = carry
-            return (i < iters) & jnp.logical_not(done)
+            return (i < iters) & (done < 0.5)
 
         def w_body(carry):
             st, lam, cost_prev, i, _ = carry
-            (st2, lam2, cost2), _ = body((st, lam, cost_prev), None)
-            accepted = cost2 < cost_prev
-            rel = (cost_prev - cost2) / jnp.maximum(cost_prev, 1e-20)
-            done = accepted & (rel < early_tol)
+            new_states, _, _ = problem.solve_step(
+                st, lam, dense_free_mask, lm_free_mask)
+            new_cost, _ = problem.cost(new_states)
+            accept_ = new_cost < cost_prev
+            st2 = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(accept_, a, b), new_states, st)
+            lam2 = jnp.clip(jnp.where(accept_, lam * 0.5, lam * 4.0),
+                            1e-8, 1e4)
+            cost2 = jnp.where(accept_, new_cost, cost_prev)
+            # exit on a FLAT landscape: the ATTEMPTED step changed the
+            # cost by < tol relative, whether accepted (tiny
+            # improvement) or rejected-but-close (converged: near the
+            # optimum LM keeps REJECTING steps, so an accepted-only
+            # exit test would burn the whole budget exactly when the
+            # solve is warm).  A rejected OVERSHOOT (cost blew up) has
+            # a large |delta| and keeps iterating with higher damping.
+            rel = jnp.abs(new_cost - cost_prev) \
+                / jnp.maximum(cost_prev, 1e-20)
+            done = jnp.where(rel < early_tol, 1.0, 0.0)
             return (st2, lam2, cost2, i + 1, done)
 
         states, lam, cost, _, _ = jax.lax.while_loop(
             w_cond, w_body,
             (states, jnp.float32(lam0), cost0, jnp.int32(0),
-             jnp.bool_(False)))
+             jnp.float32(0.0)))
     else:
         (states, lam, cost), _ = jax.lax.scan(
             body, (states, jnp.float32(lam0), cost0), None, length=iters)
