@@ -640,7 +640,7 @@ def make_line_pair_matcher(n_line_feat: int):
 
 def make_local_ba_pl(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                      n_ln: int, n_lobs: int, rounds: int = 2,
-                     iters: int = 8, early_tol: float = 1e-3):
+                     iters: int = 8, early_tol: float = 1e-2):
     """Local BA over points AND line-endpoint landmarks (reference
     LocalBundleAdjustmentwithLine, src/Optimizer.cc:4385): adds a 6-DoF
     line family with endpoint-to-line residuals, Schur-eliminated like
@@ -841,7 +841,7 @@ def make_epipolar_matcher(K: PinholeK, n_feat: int):
 
     @jax.jit
     def run(pose1, pose2, uv1, d1, ok1, uv2, d2, ok2,
-            ang1=None, ang2=None, th_epi=2.0):
+            ang1=None, ang2=None, th_epi=2.0, oct2=None):
         R1, t1 = pose1[:, :3], pose1[:, 3]
         R2, t2 = pose2[:, :3], pose2[:, 3]
         # relative: T_21 = T2 * T1^{-1}
@@ -855,7 +855,16 @@ def make_epipolar_matcher(K: PinholeK, n_feat: int):
         num = jnp.abs(jnp.einsum("ik,jk->ij", lines2, x2))
         den = jnp.sqrt(lines2[:, 0] ** 2 + lines2[:, 1] ** 2)[:, None]
         d_epi = num / jnp.maximum(den, 1e-9)
-        gate = d_epi < th_epi
+        # octave-scaled gate (reference CheckDistEpipolarLine,
+        # src/ORBmatcher.cc: dsqr < 3.84*sigma2(octave of kp2), i.e.
+        # ~1.96*1.2^oct px): a flat pixel gate starves triangulation of
+        # coarse-octave features — and of everything once the window
+        # poses carry a little drift
+        if oct2 is not None:
+            th = th_epi * 1.2 ** oct2.astype(jnp.float32)
+            gate = d_epi < th[None, :]
+        else:
+            gate = d_epi < th_epi
         dist = M.hamming_matrix(M.unpack_u32_to_pm1(d1), M.unpack_u32_to_pm1(d2))
         idx, ok = M.match_nn_ratio(dist, ok1, ok2, gate, max_dist=60.0,
                                    ratio=0.8, mutual=True)
@@ -1178,7 +1187,7 @@ def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                            Rcb, tcb, gravity: float,
                            rounds: int = 2, iters: int = 8,
                            n_ln: int = 0, n_lobs: int = 0,
-                           early_tol: float = 1e-3):
+                           early_tol: float = 1e-2):
     """Sliding-window visual-inertial BA (reference LocalInertialBA,
     src/Optimizer.cc:9185): per-KF 15-DoF states (pose_wb, vel, bg, ba),
     inertial + bias-RW edges along the temporal chain, visual edges to
@@ -1277,7 +1286,7 @@ def make_local_inertial_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
 
 def make_local_ba(K: PinholeK, n_kf: int, n_pt: int, n_obs: int,
                   rounds: int = 2, iters: int = 8,
-                  early_tol: float = 1e-3):
+                  early_tol: float = 1e-2):
     """Windowed local BA (reference LocalBundleAdjustment,
     src/Optimizer.cc:4851): optimizable + fixed KFs, Schur-eliminated
     points, two rounds with chi2 re-gating between them.

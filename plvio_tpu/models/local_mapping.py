@@ -388,6 +388,8 @@ class LocalMapper:
         d2 = jnp.asarray(m.kf_feat_desc[kf])
         free2 = m.kf_feat_valid[kf] & (m.kf_match_pt[kf] == INVALID)
         created = []
+        n_epi_total = 0
+        n_tri_total = 0
         C2 = -m.kf_pose_cw[kf, :, :3].T @ m.kf_pose_cw[kf, :, 3]
 
         for nb in neighbors:
@@ -406,7 +408,15 @@ class LocalMapper:
                 jnp.asarray(free1), uv2, d2, jnp.asarray(free2),
                 jnp.asarray(m.kf_feat_angle[nb]),
                 jnp.asarray(m.kf_feat_angle[kf]))
+            # NOTE: the octave-scaled epipolar gate (oct2=...) was
+            # measured to DEGRADE the hall-circuit replay: the dense
+            # matcher (unlike the reference's BoW-bucketed
+            # SearchForTriangulation) offers many epipolar-consistent
+            # wrong candidates at coarse octaves, and triangulation
+            # cannot reject matches that slide along the epipolar line.
+            # The flat 2 px gate keeps candidate quality high.
             ok_np = np.asarray(ok)
+            n_epi_total += int(ok_np.sum())
             if ok_np.sum() == 0:
                 continue
             idx2_np = np.asarray(idx2)
@@ -416,6 +426,7 @@ class LocalMapper:
                 jnp.asarray(m.kf_pose_cw[nb]), pose2,
                 jnp.asarray(uv_a), jnp.asarray(uv_b), ok)
             good_np = np.asarray(good)
+            n_tri_total += int(good_np.sum())
             if good_np.sum() == 0:
                 continue
             f1_ids = np.nonzero(good_np)[0]
@@ -446,7 +457,8 @@ class LocalMapper:
             n_free = int((m.kf_feat_valid[kf]
                           & (m.kf_match_pt[kf] == INVALID)).sum())
             print(f"[map] kf={kf} tri={n_new} unbound={n_free} "
-                  f"nbrs={len(neighbors)}", flush=True)
+                  f"nbrs={len(neighbors)} epi={n_epi_total} "
+                  f"tri_ok={n_tri_total}", flush=True)
 
     def cull_lines(self) -> None:
         """Map-line culling (reference MapLineCulling,
