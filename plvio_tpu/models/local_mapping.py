@@ -424,7 +424,9 @@ class LocalMapper:
             uv_b = m.kf_feat_uv[kf][idx2_np]
             Xw, good = self.triangulate(
                 jnp.asarray(m.kf_pose_cw[nb]), pose2,
-                jnp.asarray(uv_a), jnp.asarray(uv_b), ok)
+                jnp.asarray(uv_a), jnp.asarray(uv_b), ok,
+                oct1=jnp.asarray(m.kf_feat_octave[nb]),
+                oct2=jnp.asarray(m.kf_feat_octave[kf][idx2_np]))
             good_np = np.asarray(good)
             n_tri_total += int(good_np.sum())
             if good_np.sum() == 0:

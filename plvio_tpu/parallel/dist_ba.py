@@ -157,18 +157,30 @@ def make_dist_ba(K: PinholeK, mesh: Mesh, axis: str, n_cams: int,
         Hcp = jnp.einsum("kdi,kdj->kij", Jcw, Jp)
         B = B.at[rows[:, :, None], ccols[:, None, :]].add(Hcp)
 
-        # damp + invert landmark blocks
-        occupied = (jnp.einsum("pii->pi", Hpp).sum(-1) > 1e-9) & pt_free_l
+        # damp + factor landmark blocks (same scale-aware floor +
+        # GRAM-form fill-in as engine.solve_step: the direct
+        # B*Dinv*B^T einsum loses enough in f32 to push the reduced
+        # system's small eigenvalues negative)
+        dpp = jnp.einsum("pii->pi", Hpp)
+        occupied = (dpp.sum(-1) > 1e-9) & pt_free_l
         eye3 = jnp.eye(3, dtype=jnp.float32)
-        Hpp_d = Hpp + jax.vmap(jnp.diag)(jnp.einsum("pii->pi", Hpp) * lam + 1e-6)
+        floor = 1e-4 * jnp.mean(dpp, axis=-1, keepdims=True)
+        Hpp_d = Hpp + jax.vmap(jnp.diag)(dpp * lam + floor + 1e-6)
         Hpp_d = jnp.where(occupied[:, None, None], Hpp_d, eye3[None])
-        from ..solver.engine import inv_blocks
-        Dinv = inv_blocks(Hpp_d)
-        Dinv = jnp.where(occupied[:, None, None], Dinv, 0.0)
+        from ..solver.engine import chol_invT_blocks
+        Ffac = chol_invT_blocks(Hpp_d)
+        blk_ok = jnp.all(jnp.isfinite(Ffac), axis=(-2, -1)) \
+            & (jnp.max(jnp.abs(Ffac), axis=(-2, -1)) < 1e3)
+        occupied = occupied & blk_ok
+        Ffac = jnp.where(occupied[:, None, None], Ffac, 0.0)
+        Dinv = jnp.einsum("pij,pkj->pik", Ffac, Ffac)
         B3 = B.reshape(S, Pl, 3)
-        BD = jnp.einsum("spi,pij->spj", B3, Dinv)
-        H_red = Hcc - jnp.einsum("spi,tpi->st", BD, B3)
-        rhs_red = gc - jnp.einsum("spi,pi->s", BD, gp)
+        G = jnp.einsum("spi,pij->spj", B3, Ffac)
+        Gm = G.reshape(S, Pl * 3)
+        H_red = Hcc - jax.lax.dot(Gm, Gm.T,
+                                  precision=jax.lax.Precision.HIGH)
+        rhs_red = gc - jnp.einsum(
+            "spj,pj->s", G, jnp.einsum("pij,pi->pj", Ffac, gp))
         return H_red, rhs_red, Dinv, B3, gp
 
     def shard_step(poses, free6, pts_l, pt_free_l, obs_kf, obs_pt_l, obs_uv,
