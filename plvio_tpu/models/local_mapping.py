@@ -422,9 +422,19 @@ class LocalMapper:
             idx2_np = np.asarray(idx2)
             uv_a = m.kf_feat_uv[nb]
             uv_b = m.kf_feat_uv[kf][idx2_np]
+            # min_parallax_cos 0.9998 (~1.15 deg) matches the reference
+            # CreateNewMapPoints cosParallaxRays gate
+            # (src/LocalMapping.cc:795).  The looser 0.99995 (~0.57 deg)
+            # admitted near-wall points triangulated from ~2 cm
+            # stress-cadence KF baselines whose 20-40% depth noise is
+            # mutually inconsistent under camera motion: on the hall
+            # circuit they dragged VI pose opt until |v| read 0.20 m/s
+            # against 0.60 m/s ground truth and pose inliers hit zero
+            # at t~9 s (150 matches, 0 consistent).
             Xw, good = self.triangulate(
                 jnp.asarray(m.kf_pose_cw[nb]), pose2,
                 jnp.asarray(uv_a), jnp.asarray(uv_b), ok,
+                min_parallax_cos=0.9998,
                 oct1=jnp.asarray(m.kf_feat_octave[nb]),
                 oct2=jnp.asarray(m.kf_feat_octave[kf][idx2_np]))
             good_np = np.asarray(good)

@@ -278,17 +278,41 @@ class Tracker:
             # pure localization re-entry, or re-entry into a loaded atlas
             # with no prior pose (System.load_atlas): relocalize against
             # the map — _track_frame needs last_pose_cw and must not run
-            ok = self._relocalize(feats)
+            ok = self._relocalize(feats, timestamp)
         else:
             ok = self._track_frame(feats, timestamp)
         vi_mode = self.use_imu and self.map.imu_initialized
-        if not ok and self.state == TrackState.RECENTLY_LOST \
-                and not vi_mode:
-            # visual-only in-map relocalization: BoW candidates + PnP
-            # RANSAC (reference Tracking::Relocalization
-            # src/Tracking.cc:5744; the inertial path instead
-            # dead-reckons below, :2373-2402)
-            ok = self._relocalize(feats)
+        if not ok and self.state == TrackState.RECENTLY_LOST:
+            if not vi_mode:
+                # visual-only in-map relocalization: BoW candidates + PnP
+                # RANSAC (reference Tracking::Relocalization
+                # src/Tracking.cc:5744; the inertial path instead
+                # dead-reckons below, :2373-2402)
+                ok = self._relocalize(feats, timestamp)
+            elif self.lost_count >= int(0.5 * self.cfg.camera.fps):
+                # VI bridge: the reference only dead-reckons while
+                # RECENTLY_LOST and gives up into a new map after 5 s
+                # (src/Tracking.cc:2404).  Here, once dead-reckoning has
+                # had 0.5 s to self-recover, ALSO try an in-map BoW
+                # relocalization each frame: PnP against the whole map
+                # escapes a locally-corrupted covisible window that
+                # projection search from the dead-reckoned pose cannot
+                # (the geometry that caused the loss keeps rejecting it).
+                # The dead-reckoned IMU state is kept: on success only
+                # the pose is snapped, velocity/biases carry over.
+                snap = (None if self.last_pose_cw is None
+                        else self.last_pose_cw.copy(),
+                        self.ref_kf, self.velocity,
+                        self.frame_vel.copy())
+                imu_save = self._frame_imu
+                self._frame_imu = None   # reloc pose is already at t
+                ok = self._relocalize(feats, timestamp)
+                self._frame_imu = imu_save
+                if ok:
+                    self.frame_vel = snap[3]  # keep dead-reckoned vel
+                else:
+                    (self.last_pose_cw, self.ref_kf,
+                     self.velocity, self.frame_vel) = snap
         if ok:
             self.lost_count = 0
             self.state = TrackState.OK
@@ -1206,7 +1230,8 @@ class Tracker:
         self.imu_since_kf = []
 
     # ------------------------------------------------------------------
-    def _relocalize(self, feats: Features) -> bool:
+    def _relocalize(self, feats: Features,
+                    timestamp: float = None) -> bool:
         """BoW candidate retrieval + descriptor matching to candidate map
         points + PnP RANSAC + pose refinement (reference
         Tracking::Relocalization src/Tracking.cc:5744 with MLPnPsolver)."""
@@ -1264,7 +1289,12 @@ class Tracker:
             self.last_pose_cw = pose
             self.ref_kf = int(cand)
             self.velocity = None
-            ok2 = self._track_frame(feats, m.kf_timestamp[cand])
+            # the frame is NOW, not at the candidate KF's stamp: a
+            # KF created inside this refinement must carry the live
+            # timestamp or later preintegration spans go negative
+            ts = timestamp if timestamp is not None \
+                else m.kf_timestamp[cand]
+            ok2 = self._track_frame(feats, ts)
             if ok2:
                 return True
         return False
