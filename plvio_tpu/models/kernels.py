@@ -456,7 +456,7 @@ def make_line_triangulator(K: PinholeK, cap: int):
         n2_hat = n2_w / jnp.maximum(
             jnp.linalg.norm(n2_w, axis=-1, keepdims=True), 1e-9)
         cos_planes = jnp.abs(jnp.sum(n1_hat * n2_hat, -1))
-        good = good & (cos_planes < 0.9992)    # > ~2.3 deg apart
+        good = good & (cos_planes < 0.99995)   # > ~0.57 deg apart
 
         # the two independent reconstructions must agree on the same 3D
         # infinite line (replaces a raw plane/ray-angle degeneracy gate,

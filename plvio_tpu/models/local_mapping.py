@@ -35,6 +35,9 @@ class LocalMapper:
         self.cfg = cfg
         self.atlas = atlas
         self.n_feat = n_feat
+        # stage profiler; System replaces this with its shared instance
+        from ..utils.metrics import Metrics
+        self.metrics = Metrics()
         cam = cfg.camera
         self.K = PinholeK(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
         # KB8 fisheye runs the NATIVE lens through the back end too:
@@ -153,19 +156,25 @@ class LocalMapper:
         `protect`: extra KF ids never culled (e.g. the tracker's ref KF).
         Returns the list of (culled_kf, pose_cw, timestamp) so the caller
         can re-anchor any state pointing at removed keyframes."""
-        self.cull_points()
-        self.cull_points_pressure(kf)
-        self.create_new_points(kf)
+        met = self.metrics
+        with met.stage("mapping/cull"):
+            self.cull_points()
+            self.cull_points_pressure(kf)
+        with met.stage("mapping/triangulate"):
+            self.create_new_points(kf)
         if self.use_lines:
-            self.cull_lines()
-            self.cull_lines_pressure(kf)
-            self.create_new_lines(kf)
-        self.search_in_neighbors(kf)
-        self.update_point_stats(kf)
+            with met.stage("mapping/lines"):
+                self.cull_lines()
+                self.cull_lines_pressure(kf)
+                self.create_new_lines(kf)
+        with met.stage("mapping/fuse"):
+            self.search_in_neighbors(kf)
+            self.update_point_stats(kf)
         if self.use_imu and not self.map.imu_initialized:
             self.maybe_initialize_imu()
         if self.use_imu and self.map.imu_initialized:
-            self.local_inertial_ba(kf)
+            with met.stage("mapping/liba"):
+                self.local_inertial_ba(kf)
             self._kf_since_init += 1
             # periodic scale/gravity refinement pulses until the scale has
             # converged (reference ScaleRefinement schedule,
@@ -203,8 +212,10 @@ class LocalMapper:
                     st["v2"] = True
                     self.map.imu_ba2 = True
         else:
-            self.local_ba(kf)
-        culled = self.cull_keyframes(kf, protect=protect)
+            with met.stage("mapping/lba"):
+                self.local_ba(kf)
+        with met.stage("mapping/kf_cull"):
+            culled = self.cull_keyframes(kf, protect=protect)
         self.map.change_index += 1
         return culled
 

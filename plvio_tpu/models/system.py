@@ -87,10 +87,18 @@ class System:
             line_voc=self.line_vocabulary,
             n_line_feat=self.atlas.current.n_line_feat)
 
+        # always-on stage profiler (the reference's SAVE_TIMES analog,
+        # include/System.h:24, src/Tracking.cc:1246-1254 — but queryable
+        # at runtime instead of compile-time CSV emitters)
+        from ..utils.metrics import Metrics
+        self.metrics = Metrics()
+
         self.tracker = Tracker(cfg, self.atlas, self.n_feat)
         self.tracker.kfdb = self.kfdb
+        self.tracker.metrics = self.metrics
         self.mapper = LocalMapper(cfg, self.atlas, self.n_feat)
         self.mapper.kfdb = self.kfdb
+        self.mapper.metrics = self.metrics
 
         self.loop_closer = None
         if cfg.use_loop_closing:
@@ -140,13 +148,16 @@ class System:
         imu: optional (gyro [k,3], acc [k,3], dt [k]) batch of samples
         since the previous frame."""
         self._host_hygiene()
+        met = self.metrics
         img_dev = jnp.asarray(img, jnp.float32)
-        feats = self.extract(img_dev)
-        # undistort keypoint coordinates once per frame
-        und = self._undistort(feats.uv)
-        feats = feats._replace(uv_und=und)
-        line_feats = self._extract_frame_lines(img_dev)
-        with self.map_lock:
+        with met.stage("extract_orb"):
+            feats = self.extract(img_dev)
+            # undistort keypoint coordinates once per frame
+            und = self._undistort(feats.uv)
+            feats = feats._replace(uv_und=und)
+        with met.stage("extract_lines"):
+            line_feats = self._extract_frame_lines(img_dev)
+        with self.map_lock, met.stage("track"):
             pose = self.tracker.process_frame(feats, timestamp, imu=imu,
                                               line_feats=line_feats)
         self._drain_keyframes()
@@ -167,17 +178,20 @@ class System:
         from ..ops import stereo as ST
         from ..ops import matching as M2
         self._host_hygiene()
+        met = self.metrics
         imgL = jnp.asarray(img_left, jnp.float32)
         imgR = jnp.asarray(img_right, jnp.float32)
-        fL = self.extract(imgL)
-        fR = self.extract(imgR)
-        und = self._undistort(fL.uv)
-        fL = fL._replace(uv_und=und)
+        with met.stage("extract_orb"):
+            fL = self.extract(imgL)
+            fR = self.extract(imgR)
+            und = self._undistort(fL.uv)
+            fL = fL._replace(uv_und=und)
         bf = self.cfg.camera.baseline * self.cfg.camera.fx
-        _, depth, has = ST.match_stereo(
-            fL.uv, fL.desc, fL.octave, fL.valid,
-            fR.uv, fR.desc, fR.octave, fR.valid, bf)
-        depth_np = np.where(np.asarray(has), np.asarray(depth), -1.0)
+        with met.stage("stereo_match"):
+            _, depth, has = ST.match_stereo(
+                fL.uv, fL.desc, fL.octave, fL.valid,
+                fR.uv, fR.desc, fR.octave, fR.valid, bf)
+            depth_np = np.where(np.asarray(has), np.asarray(depth), -1.0)
         line_feats, line_depth = None, None
         if self.extract_lines is not None:
             # stereo line matching on RAW (rectified) coords of both views
@@ -193,7 +207,7 @@ class System:
             ep = self._undistort(lfL.ep[:, 2:])
             ep4 = jnp.concatenate([sp, ep], -1)
             line_feats = lfL._replace(ep=ep4, lineq=LN.line_equation(ep4))
-        with self.map_lock:
+        with self.map_lock, met.stage("track"):
             pose = self.tracker.process_frame(fL, timestamp, imu=imu,
                                               line_feats=line_feats,
                                               depth=depth_np,
@@ -210,16 +224,19 @@ class System:
         """RGB-D entry (reference System::TrackRGBD, src/System.cc:502):
         per-feature depth sampled from the depth image."""
         self._host_hygiene()
+        met = self.metrics
+        with met.stage("extract_orb"):
+            feats = self.extract(jnp.asarray(img, jnp.float32))
+            und = self._undistort(feats.uv)
+            feats = feats._replace(uv_und=und)
         img_dev = jnp.asarray(img, jnp.float32)
-        feats = self.extract(img_dev)
-        und = self._undistort(feats.uv)
-        feats = feats._replace(uv_und=und)
         uv = np.asarray(feats.uv)
         ui = np.clip(uv[:, 0].astype(int), 0, depth_img.shape[1] - 1)
         vi = np.clip(uv[:, 1].astype(int), 0, depth_img.shape[0] - 1)
         depth_np = depth_img[vi, ui].astype(np.float32)
-        line_feats = self._extract_frame_lines(img_dev)
-        with self.map_lock:
+        with met.stage("extract_lines"):
+            line_feats = self._extract_frame_lines(img_dev)
+        with self.map_lock, met.stage("track"):
             pose = self.tracker.process_frame(feats, timestamp, imu=imu,
                                               line_feats=line_feats,
                                               depth=depth_np)
@@ -311,7 +328,8 @@ class System:
                 self._process_kf(kf)
 
     def _process_kf(self, kf: int):
-        with self.map_lock:
+        met = self.metrics
+        with self.map_lock, met.stage("mapping"):
             m = self.atlas.current
             self.kfdb.add_keyframe(kf, m.kf_feat_desc[kf],
                                    m.kf_feat_valid[kf],
@@ -352,7 +370,8 @@ class System:
                     t.frame_bg = m.kf_bias_g[kf].copy()
                     t.frame_ba = m.kf_bias_a[kf].copy()
             if self.loop_closer is not None:
-                self.loop_closer.process_keyframe(kf)
+                with met.stage("loop_closing"):
+                    self.loop_closer.process_keyframe(kf)
                 merge = self.loop_closer.pending_merge
                 if merge is not None:
                     self.loop_closer.pending_merge = None
@@ -474,11 +493,20 @@ class System:
                 chain = m.kf_chain()
                 self.loop_closer.run_global_ba(fixed_kf=int(chain[0]))
 
+    def metrics_summary(self) -> dict:
+        """Per-stage timing/counter breakdown (reference SAVE_TIMES CSV,
+        src/Tracking.cc:1246-1254, queryable live instead)."""
+        return self.metrics.summary()
+
     def shutdown(self):
         """reference System::Shutdown src/System.cc:660."""
         self._stop.set()
         if self._mapper_thread:
             self._mapper_thread.join(timeout=5.0)
+        # PLVIO_METRICS=<path>: dump the per-stage summary on shutdown
+        path = os.environ.get("PLVIO_METRICS")
+        if path:
+            self.metrics.dump(path)
 
     @property
     def state(self) -> TrackState:

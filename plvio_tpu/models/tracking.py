@@ -68,6 +68,10 @@ class Tracker:
         cam = cfg.camera
         self.K = PinholeK(fx=cam.fx, fy=cam.fy, cx=cam.cx, cy=cam.cy)
 
+        # stage profiler; System replaces this with its shared instance
+        from ..utils.metrics import Metrics
+        self.metrics = Metrics()
+
         self.pose_opt = KN.make_pose_optimizer(self.K, local_pts_cap)
         self.proj_match = KN.make_projection_matcher(self.K, n_feat, local_pts_cap)
         # KB8 fisheye: NATIVE equidistant projection in the hot path —
@@ -262,7 +266,8 @@ class Tracker:
                 return None
         self.last_frame_time = timestamp
         if self.use_imu and imu is not None:
-            self.grab_imu(*imu)
+            with self.metrics.stage("track/preintegrate"):
+                self.grab_imu(*imu)
             self._frame_imu = imu
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
             if depth is not None:
@@ -278,9 +283,9 @@ class Tracker:
             # pure localization re-entry, or re-entry into a loaded atlas
             # with no prior pose (System.load_atlas): relocalize against
             # the map — _track_frame needs last_pose_cw and must not run
-            ok = self._relocalize(feats, timestamp)
+            ok = self._relocalize(feats)
         else:
-            ok = self._track_frame(feats, timestamp)
+            ok = self._track_frame(feats)
         vi_mode = self.use_imu and self.map.imu_initialized
         if not ok and self.state == TrackState.RECENTLY_LOST:
             if not vi_mode:
@@ -288,7 +293,7 @@ class Tracker:
                 # RANSAC (reference Tracking::Relocalization
                 # src/Tracking.cc:5744; the inertial path instead
                 # dead-reckons below, :2373-2402)
-                ok = self._relocalize(feats, timestamp)
+                ok = self._relocalize(feats)
             elif self.lost_count >= int(0.5 * self.cfg.camera.fps):
                 # VI bridge: the reference only dead-reckons while
                 # RECENTLY_LOST and gives up into a new map after 5 s
@@ -306,18 +311,29 @@ class Tracker:
                         self.frame_vel.copy())
                 imu_save = self._frame_imu
                 self._frame_imu = None   # reloc pose is already at t
-                ok = self._relocalize(feats, timestamp)
+                ok = self._relocalize(feats)
                 self._frame_imu = imu_save
                 if ok:
                     self.frame_vel = snap[3]  # keep dead-reckoned vel
+                    # the lost-period IMU buffer spans the pose
+                    # discontinuity the snap just introduced (the
+                    # reference sidesteps this by never relocalizing
+                    # in-map while inertial, src/Tracking.cc:2404):
+                    # drop it and skip the next inter-KF IMU factor so
+                    # LIBA never integrates across the snap — missing
+                    # preints are masked edges in every chain consumer.
+                    self.imu_since_kf = []
+                    self._skip_next_kf_imu = True
                 else:
                     (self.last_pose_cw, self.ref_kf,
                      self.velocity, self.frame_vel) = snap
         if ok:
             self.lost_count = 0
             self.state = TrackState.OK
+            self.metrics.add("track/inliers", self.last_n_inliers)
             if self._need_keyframe():
-                self._create_keyframe(feats, timestamp)
+                with self.metrics.stage("track/kf_create"):
+                    self._create_keyframe(feats, timestamp)
             self.frames.append(self._make_record(timestamp))
             return self.last_pose_cw
         else:
@@ -853,7 +869,7 @@ class Tracker:
                  m.pt_max_dist[safe])
         return ids, live & m.pt_valid[safe], (xyz, desc), stats
 
-    def _track_frame(self, feats: Features, timestamp: float) -> bool:
+    def _track_frame(self, feats: Features) -> bool:
         m = self.map
         vi_mode = self.use_imu and m.imu_initialized
         # snapshot the inertial frame state: the VI pose optimizer below
@@ -1230,8 +1246,7 @@ class Tracker:
         self.imu_since_kf = []
 
     # ------------------------------------------------------------------
-    def _relocalize(self, feats: Features,
-                    timestamp: float = None) -> bool:
+    def _relocalize(self, feats: Features) -> bool:
         """BoW candidate retrieval + descriptor matching to candidate map
         points + PnP RANSAC + pose refinement (reference
         Tracking::Relocalization src/Tracking.cc:5744 with MLPnPsolver)."""
@@ -1289,12 +1304,10 @@ class Tracker:
             self.last_pose_cw = pose
             self.ref_kf = int(cand)
             self.velocity = None
-            # the frame is NOW, not at the candidate KF's stamp: a
-            # KF created inside this refinement must carry the live
-            # timestamp or later preintegration spans go negative
-            ts = timestamp if timestamp is not None \
-                else m.kf_timestamp[cand]
-            ok2 = self._track_frame(feats, ts)
+            # refinement against the local map around the candidate
+            # (any KF created from this frame happens afterwards in
+            # process_frame with the live timestamp)
+            ok2 = self._track_frame(feats)
             if ok2:
                 return True
         return False
@@ -1399,14 +1412,20 @@ class Tracker:
         attach it + the raw samples (reference CreateNewKeyFrame sets
         mpImuPreintegratedFromLastKF, src/Tracking.cc:4850)."""
         m = self.map
-        pre = self._preintegrate_batches(self.imu_since_kf,
-                                         self.frame_bg, self.frame_ba)
-        m.kf_preint[kf] = pre
-        if self.imu_since_kf:
-            m.kf_imu_raw[kf] = (
-                np.concatenate([b[0] for b in self.imu_since_kf]),
-                np.concatenate([b[1] for b in self.imu_since_kf]),
-                np.concatenate([b[2] for b in self.imu_since_kf]))
+        if getattr(self, "_skip_next_kf_imu", False):
+            # first KF after a bridge relocalization: the IMU window was
+            # invalidated by the pose snap — leave kf_preint unset so the
+            # inter-KF inertial edge is masked out of LIBA/init chains
+            self._skip_next_kf_imu = False
+        else:
+            pre = self._preintegrate_batches(self.imu_since_kf,
+                                             self.frame_bg, self.frame_ba)
+            m.kf_preint[kf] = pre
+            if self.imu_since_kf:
+                m.kf_imu_raw[kf] = (
+                    np.concatenate([b[0] for b in self.imu_since_kf]),
+                    np.concatenate([b[1] for b in self.imu_since_kf]),
+                    np.concatenate([b[2] for b in self.imu_since_kf]))
         self.imu_since_kf = []
         m.kf_pose_wb[kf] = self._cw_to_wb(m.kf_pose_cw[kf])
         m.kf_vel[kf] = self.frame_vel

@@ -289,13 +289,23 @@ class Problem:
     Schur-eliminated.  All counts/capacities static.
     """
 
-    def __init__(self, linear_solver: str = "chol"):
+    def __init__(self, linear_solver: str = "chol",
+                 psum_axis: Optional[str] = None):
         self._dense: List[BlockDef] = []
         self._lm: Dict[str, LandmarkFamily] = {}
         self._retract: Dict[str, Callable] = {}
         self._dofs: Dict[str, int] = {}
         self.terms: List[Term] = []
         self.linear_solver = linear_solver   # "chol" | "cg"
+        # Distributed exact solve (inside shard_map over `psum_axis`):
+        # dense states replicated, landmark families + their observation
+        # tables SHARDED per device.  Each device assembles its partial
+        # dense system and Schur-eliminates its own landmarks; one psum
+        # of the reduced (S x S) camera system makes the GN step EXACT —
+        # the g2o BlockSolver's reduced system assembled across devices
+        # (the dist_ba partition of SURVEY §2.3, generalized to any
+        # Problem).  None = single-device behavior, bit-identical.
+        self.psum_axis = psum_axis
 
     # -- declaration ------------------------------------------------------
     def add_dense(self, name: str, count: int, dof: int, retract: Callable):
@@ -435,6 +445,8 @@ class Problem:
                     B = B.at[rr, cc].add(Hal)
                 lm_sys[lname] = [Hpp, gp, B]
 
+        if self.psum_axis is not None:
+            total_cost = jax.lax.psum(total_cost, self.psum_axis)
         return layout, H, g, lm_sys, total_cost, chi2_by_term
 
     def solve_step(self, states, lam: jnp.ndarray,
@@ -527,6 +539,14 @@ class Problem:
         H = H * free[:, None] * free[None, :] + jnp.diag(1.0 - free)
         rhs = rhs * free
 
+        if self.psum_axis is not None:
+            # one collective per GN iteration: the Schur-reduced dense
+            # system is a SUM over observations, so psum of the
+            # per-device partials (damping diag*lam sums to the global
+            # diag*lam) reconstructs the exact global reduced system
+            H = jax.lax.psum(H, self.psum_axis)
+            rhs = jax.lax.psum(rhs, self.psum_axis)
+
         if self.linear_solver == "cg":
             # fixed-iteration CG on the SPD reduced system: plain VPU
             # arithmetic (no LAPACK-style factorization — those compile
@@ -596,6 +616,8 @@ class Problem:
             w, chi2 = self._residuals_only(term, states)
             chi2s[term.name] = chi2
             total = total + jnp.sum(w * chi2)
+        if self.psum_axis is not None:
+            total = jax.lax.psum(total, self.psum_axis)
         return total, chi2s
 
 

@@ -103,6 +103,11 @@ def main(duration: float = 22.0):
     with open(path, "a") as f:
         f.write(row)
     print(f"appended to RESULTS.md: {row.strip()}")
+    import json
+    print("stage summary (script):",
+          json.dumps(met.summary(), indent=1))
+    print("stage summary (system):",
+          json.dumps(slam.metrics_summary(), indent=1))
     return ate_se3
 
 
