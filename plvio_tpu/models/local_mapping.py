@@ -137,6 +137,24 @@ class LocalMapper:
             self.viba_ln_cap = 512 if self.use_lines else 0
             self.viba_lobs_cap = 1024 if self.use_lines else 0
             self.viba_kernel = None
+        # multi-chip production back end: when the runtime exposes >1
+        # device, every LIBA / VIBA / FIBA window solve routes through
+        # the EXACT landmark-sharded distributed solver
+        # (parallel/dist_liba — one psum of the reduced camera system
+        # per GN iteration).  Auto-on for real accelerator meshes;
+        # PLVIO_DIST=1 forces it on the virtual CPU mesh (tests/dryrun),
+        # PLVIO_DIST=0 forces single-device.  KB8 maps keep the
+        # single-device kernel (the dist reprojection term is pinhole).
+        self._dist_runner = None
+        if self.use_imu and self.kb8 is None:
+            import jax as _jax
+            flag = os.environ.get("PLVIO_DIST", "")
+            n_dev = len(_jax.devices())
+            auto = n_dev > 1 and _jax.default_backend() not in ("cpu",)
+            if flag == "1" or (auto and flag != "0"):
+                from ..parallel.dist_liba import DistLIBARunner
+                self._dist_runner = DistLIBARunner(
+                    self.K, self.R_cb, self.t_cb, cfg.imu.gravity)
 
     @property
     def map(self) -> MapStore:
@@ -1216,6 +1234,43 @@ class LocalMapper:
                     free[0] = False
                 self._liba_window(block, free, big=True)
 
+    def _window_line_obs(self, win: np.ndarray, ln_cap: int,
+                         lobs_cap: int):
+        """Line landmarks + endpoint-to-line observations of `win`
+        (FullInertialBAwithLine parity, src/Optimizer.cc:1374); only
+        multi-view-confirmed lines (see local_ba)."""
+        m = self.map
+        ln_ids = np.unique(m.kf_match_ln[win])
+        ln_ids = ln_ids[ln_ids >= 0]
+        ln_ids = ln_ids[m.ln_valid[ln_ids]]
+        ln_ids = ln_ids[m.ln_n_obs[ln_ids] >= 3][:ln_cap]
+        ln_slot = np.full(m.max_lines, -1, np.int32)
+        ln_slot[ln_ids] = np.arange(len(ln_ids))
+        lobs_kf, lobs_ln, lobs_eq = [], [], []
+        for s, kfi in enumerate(win):
+            match = m.kf_match_ln[kfi]
+            feat = np.nonzero((match >= 0) & np.isin(match, ln_ids))[0]
+            if len(feat) == 0:
+                continue
+            lobs_kf.append(np.full(len(feat), s, np.int32))
+            lobs_ln.append(ln_slot[match[feat]])
+            ep = m.kf_line_ep[kfi, feat]
+            sp = np.concatenate([ep[:, :2], np.ones((len(ep), 1))], 1)
+            e_ = np.concatenate([ep[:, 2:], np.ones((len(ep), 1))], 1)
+            leq = np.cross(sp, e_)
+            leq /= np.maximum(np.linalg.norm(leq[:, :2], axis=1,
+                                             keepdims=True), 1e-9)
+            lobs_eq.append(leq.astype(np.float32))
+        if lobs_kf:
+            lobs_kf = np.concatenate(lobs_kf)[:lobs_cap]
+            lobs_ln = np.concatenate(lobs_ln)[:lobs_cap]
+            lobs_eq = np.concatenate(lobs_eq)[:lobs_cap]
+        else:
+            lobs_kf = np.zeros(0, np.int32)
+            lobs_ln = np.zeros(0, np.int32)
+            lobs_eq = np.zeros((0, 3), np.float32)
+        return ln_ids, lobs_kf, lobs_ln, lobs_eq
+
     def _liba_window(self, win: np.ndarray, free_np: np.ndarray,
                      big: bool = False,
                      free_all_biases: bool = False) -> None:
@@ -1314,6 +1369,48 @@ class LocalMapper:
         obs_is2 = np.concatenate(obs_is2)[:obs_cap]
         n_obs = len(obs_kf)
 
+        # multi-device production dispatch (SURVEY §2.3): route the full
+        # VI window problem through the EXACT landmark-sharded solver
+        # (parallel/dist_liba) whenever the runtime exposes >1 device —
+        # the same terms (inertial chain, bias RW, point AND line
+        # landmarks), one psum of the reduced camera system per GN
+        # iteration riding ICI
+        if self._dist_runner is not None:
+            ln_ids, lobs_kf, lobs_ln, lobs_eq = (
+                self._window_line_obs(win, ln_cap, lobs_cap)
+                if ln_cap > 0 else
+                (np.zeros(0, np.int32), np.zeros(0, np.int32),
+                 np.zeros(0, np.int32), np.zeros((0, 3), np.float32)))
+            stack_np = {k: np.asarray(v)[:n - 1]
+                        for k, v in stack.items()}
+            (pose_o, vel_o, bg_o, ba_o, pts_o, lns_o) = \
+                self._dist_runner.solve(
+                    m.kf_pose_wb[win], m.kf_vel[win], m.kf_bias_g[win],
+                    m.kf_bias_a[win], kf_free[:n], kf_free_bias[:n],
+                    obs_kf, obs_pt, obs_uv,
+                    obs_is2.astype(np.float32), m.pt_xyz[pt_ids],
+                    stack_np, np.asarray(infos)[:n - 1],
+                    edge_valid[:n - 1], np.asarray(rw_g)[:n - 1],
+                    np.asarray(rw_a)[:n - 1],
+                    lobs_kf=lobs_kf, lobs_ln=lobs_ln, lobs_eq=lobs_eq,
+                    ln_ep=m.ln_ep[ln_ids] if len(ln_ids) else None)
+            okf = (np.isfinite(pose_o).all((1, 2))
+                   & np.isfinite(vel_o).all(1) & np.isfinite(bg_o).all(1)
+                   & np.isfinite(ba_o).all(1))
+            fr = kf_free[:n] & okf
+            m.kf_pose_wb[win[fr]] = pose_o[fr]
+            m.kf_vel[win[fr]] = vel_o[fr]
+            frb = kf_free_bias[:n] & okf
+            m.kf_bias_g[win[frb]] = bg_o[frb]
+            m.kf_bias_a[win[frb]] = ba_o[frb]
+            m.set_cam_poses_from_body(win[fr], self.Tbc)
+            okp = np.isfinite(pts_o).all(1)
+            m.pt_xyz[pt_ids[okp]] = pts_o[okp]
+            if lns_o is not None and len(ln_ids):
+                okl = np.all(np.isfinite(lns_o), axis=1)
+                m.ln_ep[ln_ids[okl]] = lns_o[okl]
+            return
+
         # size bucketing: the windowed solve cost is obs/landmark-linear
         # (B-matrix assembly + Schur einsums scale with the PADDED caps),
         # and a typical sliding window fills well under half the
@@ -1352,37 +1449,8 @@ class LocalMapper:
             jnp.asarray(rw_g), jnp.asarray(rw_a))
         ln_ids = np.zeros(0, np.int32)
         if ln_cap > 0:
-            # line landmarks of the window (FullInertialBAwithLine
-            # parity); only multi-view-confirmed lines (see local_ba)
-            ln_ids = np.unique(m.kf_match_ln[win])
-            ln_ids = ln_ids[ln_ids >= 0]
-            ln_ids = ln_ids[m.ln_valid[ln_ids]]
-            ln_ids = ln_ids[m.ln_n_obs[ln_ids] >= 3][:ln_cap]
-            ln_slot = np.full(m.max_lines, -1, np.int32)
-            ln_slot[ln_ids] = np.arange(len(ln_ids))
-            lobs_kf, lobs_ln, lobs_eq = [], [], []
-            for s, kfi in enumerate(win):
-                match = m.kf_match_ln[kfi]
-                feat = np.nonzero((match >= 0) & np.isin(match, ln_ids))[0]
-                if len(feat) == 0:
-                    continue
-                lobs_kf.append(np.full(len(feat), s, np.int32))
-                lobs_ln.append(ln_slot[match[feat]])
-                ep = m.kf_line_ep[kfi, feat]
-                sp = np.concatenate([ep[:, :2], np.ones((len(ep), 1))], 1)
-                e_ = np.concatenate([ep[:, 2:], np.ones((len(ep), 1))], 1)
-                leq = np.cross(sp, e_)
-                leq /= np.maximum(np.linalg.norm(leq[:, :2], axis=1,
-                                                 keepdims=True), 1e-9)
-                lobs_eq.append(leq.astype(np.float32))
-            if lobs_kf:
-                lobs_kf = np.concatenate(lobs_kf)[:lobs_cap]
-                lobs_ln = np.concatenate(lobs_ln)[:lobs_cap]
-                lobs_eq = np.concatenate(lobs_eq)[:lobs_cap]
-            else:
-                lobs_kf = np.zeros(0, np.int32)
-                lobs_ln = np.zeros(0, np.int32)
-                lobs_eq = np.zeros((0, 3), np.float32)
+            ln_ids, lobs_kf, lobs_ln, lobs_eq = \
+                self._window_line_obs(win, ln_cap, lobs_cap)
             ln_ep6 = np.zeros((ln_cap, 6), np.float32)
             ln_ep6[:len(ln_ids)] = m.ln_ep[ln_ids]
             ln_free = np.zeros(ln_cap, bool)

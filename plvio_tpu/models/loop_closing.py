@@ -17,6 +17,7 @@ stores are concatenated.
 """
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 import numpy as np
@@ -156,6 +157,11 @@ class LoopCloser:
             exclude=exclude, top_n=3,
             line_desc=m.kf_line_desc[kf] if self.cfg.use_lines else None,
             line_valid=m.kf_line_valid[kf] if self.cfg.use_lines else None)
+        if os.environ.get("PLVIO_TRACE"):
+            cc = [f"{int(c)}:{s:.3f}" for c, s in zip(cands, scores)]
+            nv = max((v for _, v in self.consistency), default=0)
+            print(f"[loop] kf={kf} n_excl={int(exclude.sum())} "
+                  f"cands={cc} votes={nv}", flush=True)
         if len(cands) == 0:
             self.consistency = []
             return None

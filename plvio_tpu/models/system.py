@@ -135,6 +135,15 @@ class System:
         from ..utils import hostmem as HM
         HM.raise_map_count_limit()
         self._frame_counter = 0
+        # live map viewer (reference Pangolin Viewer thread analog,
+        # src/Viewer.cc:58): PLVIO_VIEWER_PORT=<port> serves the map at
+        # http://host:port/ with 1 Hz auto-refresh
+        self.live_viewer = None
+        vp = os.environ.get("PLVIO_VIEWER_PORT")
+        if vp:
+            from .live_viewer import LiveViewer
+            self.live_viewer = LiveViewer(self, int(vp))
+            self.live_viewer.start()
         if async_mapping:
             self._mapper_thread = threading.Thread(
                 target=self._mapping_loop, daemon=True)
@@ -379,6 +388,8 @@ class System:
             if self.relocalizer is not None:
                 self.relocalizer.process_keyframe(kf, m.kf_timestamp[kf])
         self._maybe_snapshot()
+        if self.live_viewer is not None:
+            self.live_viewer.refresh()
 
     def _mapping_loop(self):
         while not self._stop.is_set():
@@ -503,6 +514,8 @@ class System:
         self._stop.set()
         if self._mapper_thread:
             self._mapper_thread.join(timeout=5.0)
+        if self.live_viewer is not None:
+            self.live_viewer.stop()
         # PLVIO_METRICS=<path>: dump the per-stage summary on shutdown
         path = os.environ.get("PLVIO_METRICS")
         if path:

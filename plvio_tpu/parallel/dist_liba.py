@@ -281,3 +281,137 @@ def make_dist_liba(K, mesh: Mesh, axis: str, C: int, Pl: int, Ol: int,
             data.rw_info_g, data.rw_info_a)
 
     return run
+
+
+def _bucket(n: int, base: int = 64) -> int:
+    """Round up to a stable compile bucket (power-of-two-ish)."""
+    b = base
+    while b < n:
+        b *= 2
+    return b
+
+
+class DistLIBARunner:
+    """Production adapter: LocalMapper routes its LIBA / VIBA / FIBA
+    window solves here when >1 device is visible.  Pads every problem
+    to stable shape buckets so the sharded program compiles once per
+    bucket, and caches the compiled run per (C, Pl, Ol, Ll, Lo)."""
+
+    def __init__(self, K, Rcb, tcb, gravity: float, mesh: Mesh = None,
+                 axis: str = "lm"):
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), (axis,))
+        self.K = K
+        self.mesh = mesh
+        self.axis = axis
+        self.D = int(np.prod(mesh.devices.shape))
+        self.Rcb = np.asarray(Rcb, np.float32)
+        self.tcb = np.asarray(tcb, np.float32)
+        self.gravity = float(gravity)
+        self._cache = {}
+
+    def solve(self, pose_wb, vel, bg, ba, kf_free, kf_free_bias,
+              obs_kf, obs_pt, obs_uv, obs_is2, pt_xyz,
+              pre_stack, imu_info, edge_valid, rw_g, rw_a,
+              lobs_kf=None, lobs_ln=None, lobs_eq=None, ln_ep=None,
+              rounds: int = 2, iters: int = 8):
+        """All inputs UNPADDED; chain indices 0..C-1.  Returns
+        (pose_wb, vel, bg, ba [C..], pt_xyz [n_pts,3], ln_ep or None)."""
+        n = len(pose_wb)
+        C = _bucket(n, 8)
+        n_pts = len(pt_xyz)
+
+        def padc(a, fill=0.0):
+            out = np.full((C,) + np.asarray(a).shape[1:], fill,
+                          np.asarray(a).dtype)
+            out[:n] = a
+            return out
+
+        pose_p = np.tile(np.eye(3, 4, dtype=np.float32), (C, 1, 1))
+        pose_p[:n] = pose_wb
+        vel_p, bg_p, ba_p = padc(vel), padc(bg), padc(ba)
+        free_p = np.zeros(C, bool); free_p[:n] = kf_free
+        freeb_p = np.zeros(C, bool); freeb_p[:n] = kf_free_bias
+
+        pre_p = {k: np.zeros((C - 1,) + np.asarray(v).shape[1:],
+                             np.float32) for k, v in pre_stack.items()}
+        for k, v in pre_stack.items():
+            pre_p[k][:n - 1] = np.asarray(v)[:n - 1]
+        info_p = np.tile(np.eye(9, dtype=np.float32), (C - 1, 1, 1))
+        info_p[:n - 1] = imu_info[:n - 1]
+        ev_p = np.zeros(C - 1, bool); ev_p[:n - 1] = edge_valid[:n - 1]
+        rwg_p = np.zeros(C - 1, np.float32); rwg_p[:n - 1] = rw_g[:n - 1]
+        rwa_p = np.zeros(C - 1, np.float32); rwa_p[:n - 1] = rw_a[:n - 1]
+
+        Pl = _bucket(-(-max(n_pts, 1) // self.D), 32)
+        Ol = _bucket(-(-max(len(obs_kf), 1) // self.D) * 2, 64)
+        have_lines = ln_ep is not None and len(ln_ep) > 0 \
+            and lobs_kf is not None and len(lobs_kf) > 0
+        if have_lines:
+            Ll = _bucket(-(-len(ln_ep) // self.D), 8)
+            Lo = _bucket(-(-len(lobs_kf) // self.D) * 2, 16)
+        else:
+            Ll = Lo = 1
+
+        (obs_tabs, obs_pt_l, ovalid, lm_tabs, pt_free_l, sp, lp) = \
+            shard_landmarks(
+                self.D, n_pts, obs_pt,
+                [(obs_kf.astype(np.int32), 0, np.int32),
+                 (obs_uv.astype(np.float32), 0, np.float32),
+                 (obs_is2.astype(np.float32), 1, np.float32)],
+                [(pt_xyz.astype(np.float32), 0, np.float32)],
+                Pl=Pl, Ol=Ol)
+        okf_t, ouv_t, ois_t = obs_tabs
+        (pt_t,) = lm_tabs
+        if have_lines:
+            (ltabs, lln_l, lvalid, lntabs, ln_free_l, spl, lpl) = \
+                shard_landmarks(
+                    self.D, len(ln_ep), lobs_ln,
+                    [(lobs_kf.astype(np.int32), 0, np.int32),
+                     (lobs_eq.astype(np.float32), 0, np.float32)],
+                    [(ln_ep.astype(np.float32), 0, np.float32)],
+                    Pl=Ll, Ol=Lo)
+            lkf_t, leq_t = ltabs
+            (ln_t,) = lntabs
+        else:
+            lkf_t = np.zeros((self.D, 1), np.int32)
+            leq_t = np.zeros((self.D, 1, 3), np.float32)
+            lln_l = np.zeros((self.D, 1), np.int32)
+            lvalid = np.zeros((self.D, 1), bool)
+            ln_t = np.zeros((self.D, 1, 6), np.float32)
+            ln_free_l = np.zeros((self.D, 1), bool)
+            spl = lpl = None
+
+        data = DistLIBAData(
+            kf_pose_wb=jnp.asarray(pose_p), kf_vel=jnp.asarray(vel_p),
+            kf_bg=jnp.asarray(bg_p), kf_ba=jnp.asarray(ba_p),
+            kf_free=jnp.asarray(free_p),
+            kf_free_bias=jnp.asarray(freeb_p),
+            pt_xyz=jnp.asarray(pt_t), pt_free=jnp.asarray(pt_free_l),
+            obs_kf=jnp.asarray(okf_t), obs_pt=jnp.asarray(obs_pt_l),
+            obs_uv=jnp.asarray(ouv_t), obs_valid=jnp.asarray(ovalid),
+            obs_is2=jnp.asarray(ois_t),
+            ln_ep=jnp.asarray(ln_t), ln_free=jnp.asarray(ln_free_l),
+            lobs_kf=jnp.asarray(lkf_t), lobs_ln=jnp.asarray(lln_l),
+            lobs_eq=jnp.asarray(leq_t), lobs_valid=jnp.asarray(lvalid),
+            pre_const={k: jnp.asarray(v) for k, v in pre_p.items()},
+            imu_info=jnp.asarray(info_p), edge_valid=jnp.asarray(ev_p),
+            rw_info_g=jnp.asarray(rwg_p), rw_info_a=jnp.asarray(rwa_p))
+
+        key = (C, Pl, Ol, Ll, Lo, rounds, iters)
+        run = self._cache.get(key)
+        if run is None:
+            run = make_dist_liba(
+                self.K, self.mesh, self.axis, C, Pl, Ol, Ll, Lo,
+                self.Rcb, self.tcb, self.gravity,
+                rounds=rounds, iters=iters)
+            self._cache[key] = run
+        pose_o, vel_o, bg_o, ba_o, pt_o, ln_o = run(data)
+        layout = {"shard_of_pt": sp, "local_of_pt": lp,
+                  "shard_of_ln": spl, "local_of_ln": lpl,
+                  "have_lines": have_lines}
+        pts, lns = gather_landmarks(
+            layout, np.asarray(pt_o), np.asarray(ln_o),
+            n_pts=n_pts, n_lns=len(ln_ep) if have_lines else 0)
+        return (np.asarray(pose_o)[:n], np.asarray(vel_o)[:n],
+                np.asarray(bg_o)[:n], np.asarray(ba_o)[:n], pts, lns)
