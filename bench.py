@@ -46,26 +46,35 @@ def build_inputs(n_frames=16, cap_pts=2048, cap_lns=128,
     frames = [syn.render_frame(scene, traj.R_wb[i], traj.p_wb[i], rng=rng)
               for i in range(n_frames)]
 
-    # local map: visible scene points w/ descriptors stolen from frame-0
-    # detections (nearest projection within 3 px)
+    # local map: scene points visible ANYWHERE in the benched window,
+    # descriptors stolen from the nearest detection of the first frame
+    # that sees them (<3 px).  Sampling only frame 0 froze the map at
+    # its visible set and the inlier count decayed 130 -> 37 across the
+    # window (late frames timed a lighter problem); production refreshes
+    # the local map every frame (VERDICT r4 weak #9).
     fx, fy, cx, cy = 458.654, 457.296, 367.215, 248.375
+    run, specs = FE.make_extractor(height, width, n_features=1000)
+    taken = np.zeros(len(scene.points), bool)
+    X, D = [], []
+    for fi in range(0, n_frames, 4):
+        uv0, z0, vis0, uv_l0, vis_l0 = syn.project_scene(
+            scene, traj.R_wb[fi], traj.p_wb[fi], fx, fy, cx, cy,
+            width, height)
+        f0 = run(jnp.asarray(frames[fi]))
+        det_uv = np.asarray(f0.uv)
+        det_desc = np.asarray(M.pack_bits_u32(f0.desc))
+        det_ok = np.asarray(f0.valid)
+        for i in np.nonzero(vis0 & ~taken)[0]:
+            d = np.linalg.norm(det_uv - uv0[i], axis=-1)
+            d[~det_ok] = 1e9
+            j = d.argmin()
+            if d[j] < 3.0:
+                X.append(scene.points[i])
+                D.append(det_desc[j])
+                taken[i] = True
     uv0, z0, vis0, uv_l0, vis_l0 = syn.project_scene(
         scene, traj.R_wb[0], traj.p_wb[0], fx, fy, cx, cy, width, height)
-    run, specs = FE.make_extractor(height, width, n_features=1000)
     f0 = run(jnp.asarray(frames[0]))
-    det_uv = np.asarray(f0.uv)
-    det_desc = np.asarray(M.pack_bits_u32(f0.desc))
-    det_ok = np.asarray(f0.valid)
-
-    ids = np.nonzero(vis0)[0]
-    X, D = [], []
-    for i in ids:
-        d = np.linalg.norm(det_uv - uv0[i], axis=-1)
-        d[~det_ok] = 1e9
-        j = d.argmin()
-        if d[j] < 3.0:
-            X.append(scene.points[i])
-            D.append(det_desc[j])
     X = np.asarray(X, np.float32)
     D = np.asarray(D, np.uint32)
     n = min(len(X), cap_pts)
@@ -107,7 +116,7 @@ def build_inputs(n_frames=16, cap_pts=2048, cap_lns=128,
         t_cw = -R_cw @ traj.p_wb[i]
         poses.append(np.concatenate([R_cw, t_cw[:, None]], 1).astype(np.float32))
     return (frames, poses, pt_xyz, pt_desc, pt_valid,
-            ln_ep6, ln_desc, ln_valid)
+            ln_ep6, ln_desc, ln_valid, traj)
 
 
 def _sequence_fps(fn, frames_dev, pose0, extra, n_frames, reps=16):
@@ -147,6 +156,46 @@ def _sequence_fps(fn, frames_dev, pose0, extra, n_frames, reps=16):
     except Exception:
         pass
     return fps, np.asarray(n_inls), flops
+
+
+def _sequence_fps_vi(step, frames_dev, imu_xs, carry0, map_args,
+                     n_frames, reps=16):
+    """Time the PRODUCTION mono-inertial frame (15-DoF VI pose opt with
+    preintegration + carried prior) scanned over the frame stack."""
+    @jax.jit
+    def track_sequence(frames_dev, gyro, acc, dts, eps, carry0, *map_args):
+        def body(carry, xs):
+            img, g, a, d = xs
+            carry, out = step(carry, (img + eps, g, a, d), *map_args)
+            return carry, out
+        carry, outs = jax.lax.scan(body, carry0,
+                                   (frames_dev, gyro, acc, dts))
+        return carry, outs
+
+    gyro, acc, dts = imu_xs
+    carry, outs = track_sequence(frames_dev, gyro, acc, dts,
+                                 jnp.float32(0.0), carry0, *map_args)
+    jax.block_until_ready(carry[0])
+    t0 = time.perf_counter()
+    for rep in range(reps):
+        carry, outs = track_sequence(frames_dev, gyro, acc, dts,
+                                     jnp.float32(1e-4 * (rep + 1)),
+                                     carry0, *map_args)
+    jax.block_until_ready(carry[0])
+    dt = time.perf_counter() - t0
+    fps = reps * n_frames / dt
+    flops = -1.0
+    try:
+        lowered = track_sequence.lower(frames_dev, gyro, acc, dts,
+                                       jnp.float32(0.0), carry0,
+                                       *map_args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", -1.0)) / n_frames
+    except Exception:
+        pass
+    return fps, np.asarray(outs[0]), flops
 
 
 def build_mapping_step(n_kf: int = 16, n_pt: int = 4096,
@@ -325,7 +374,8 @@ def main():
     n_frames = 16
     cap_pts, cap_lns = 2048, 128
     (frames, poses, pt_xyz, pt_desc, pt_valid,
-     ln_ep6, ln_desc, ln_valid) = build_inputs(n_frames, cap_pts, cap_lns)
+     ln_ep6, ln_desc, ln_valid, traj) = build_inputs(n_frames, cap_pts,
+                                                     cap_lns)
 
     frames_dev = jax.device_put(jnp.asarray(np.stack(frames), jnp.float32))
     pose0 = jax.device_put(jnp.asarray(poses[0]))
@@ -348,6 +398,38 @@ def main():
                                    cap_pts=cap_pts)
     fps_pt, inls_pt, flops_pt = _sequence_fps(
         fn_pt, frames_dev, pose0, (xyz, desc, valid), n_frames)
+
+    # TRUE production VI frame: 15-DoF VI pose opt w/ preintegration of
+    # the 10-sample inter-frame IMU window + carried marginalization
+    # prior + line matching (reference PoseInertialOptimizationLastFrame
+    # src/Optimizer.cc:13980) — the mono-inertial hot path the System
+    # actually runs per frame (VERDICT r4 missing #3)
+    from plvio_tpu.io import synthetic as syn
+    rngv = np.random.default_rng(3)
+    imu = syn.synthesize_imu(rngv, n_frames / 20.0 + 0.4)
+    gyro_b = np.zeros((n_frames, 10, 3), np.float32)
+    acc_b = np.zeros((n_frames, 10, 3), np.float32)
+    dts_b = np.full((n_frames, 10), 1.0 / 200.0, np.float32)
+    for i in range(n_frames):
+        t1 = traj.timestamps[i]
+        t0 = t1 - 1.0 / 20.0
+        m = (imu.timestamps > t0) & (imu.timestamps <= t1)
+        gg, aa = imu.gyro[m][:10], imu.acc[m][:10]
+        gyro_b[i, :len(gg)] = gg
+        acc_b[i, :len(aa)] = aa
+    step_vi = g._tracking_step_vi_fn(480, 752, n_features=1000,
+                                     cap_pts=cap_pts, cap_lns=cap_lns)
+    pose_wb0 = jnp.asarray(np.concatenate(
+        [traj.R_wb[0], traj.p_wb[0][:, None]], 1), jnp.float32)
+    carry0 = (pose_wb0, jnp.asarray(traj.v_wb[0], jnp.float32),
+              jnp.zeros(3), jnp.zeros(3),
+              jnp.eye(15, dtype=jnp.float32))
+    fps_vi, inls_vi, flops_vi = _sequence_fps_vi(
+        step_vi, frames_dev,
+        (jnp.asarray(gyro_b), jnp.asarray(acc_b), jnp.asarray(dts_b)),
+        carry0, (xyz, desc, valid, lep, ldesc, lvalid), n_frames)
+    print(f"# VI production-frame inliers: {inls_vi.tolist()}",
+          file=sys.stderr)
 
     print(f"# point+line inliers per frame: {inls_pl.tolist()}",
           file=sys.stderr)
@@ -389,6 +471,9 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(fps_pl / 20.0, 3),
         "point_only_fps": round(fps_pt, 2),
+        "vi_tracking_fps": round(fps_vi, 2),
+        "vi_vs_baseline": round(fps_vi / 20.0, 3),
+        "vi_flops_per_frame": flops_vi,
         "flops_per_frame": flops_pl,
         "mfu_vs_f32_peak": round(mfu, 5) if mfu > 0 else None,
         "mapping_step_ms": round(map_ms, 2),

@@ -68,3 +68,39 @@ def test_kfdb_top3_recall_realistic(rng):
     # chance (reference achieves ~1.0 on same-pose re-renders)
     assert recall3 >= 0.9, f"top-3 recall {recall3:.2f} < 0.9"
     assert recall1 >= 0.75, f"top-1 recall {recall1:.2f} < 0.75"
+
+
+@pytest.mark.slow
+def test_kfdb_recall_viewpoint_offset(rng):
+    """Loop-closure-realistic retrieval: the revisit view is OFFSET from
+    the database view (the circuit never re-crosses its own poses
+    exactly).  0.25 s along the orbit ~ 14 cm travel + ~4 deg yaw at
+    2 m depth; the KFDB must still put the right place in its top-3 for
+    the detector's 3-vote consistency to ever accumulate."""
+    n_db = 12
+    scene = syn.make_hall_scene(rng, n_points=6000, n_lines=300)
+    ts = np.linspace(6.0, 25.0, n_db)
+    extract, specs = FE.make_extractor(480, 752, n_features=1000)
+    n_feat = sum(s.n_keep for s in specs)
+    voc = V.default_vocabulary("orb", seed=0)
+    db = KeyFrameDatabase(voc, max_kf=n_db, n_feat=n_feat)
+    qs = []
+    for k, t in enumerate(ts):
+        img = syn.render_frame_realistic(scene, syn._eval_mh_loop,
+                                         float(t), rng)
+        f = extract(jnp.asarray(img, jnp.float32))
+        db.add_keyframe(k, np.asarray(M.pack_bits_u32(f.desc)),
+                        np.asarray(f.valid))
+        qimg = syn.render_frame_realistic(scene, syn._eval_mh_loop,
+                                          float(t) + 0.25, rng)
+        qs.append(extract(jnp.asarray(qimg, jnp.float32)))
+    hits = 0
+    for k in range(n_db):
+        f = qs[k]
+        cands, _ = db.query(np.asarray(M.pack_bits_u32(f.desc)),
+                            np.asarray(f.valid), top_n=3,
+                            min_rel_score=0.0)
+        hits += int(k in set(int(c) for c in cands))
+    recall = hits / n_db
+    print(f"offset-revisit top-3 recall {recall:.2f}")
+    assert recall >= 0.8, f"offset recall {recall:.2f} < 0.8"
