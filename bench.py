@@ -406,17 +406,24 @@ def main():
     # actually runs per frame (VERDICT r4 missing #3)
     from plvio_tpu.io import synthetic as syn
     rngv = np.random.default_rng(3)
-    imu = syn.synthesize_imu(rngv, n_frames / 20.0 + 0.4)
-    gyro_b = np.zeros((n_frames, 10, 3), np.float32)
-    acc_b = np.zeros((n_frames, 10, 3), np.float32)
-    dts_b = np.full((n_frames, 10), 1.0 / 200.0, np.float32)
-    for i in range(n_frames):
-        t1 = traj.timestamps[i]
-        t0 = t1 - 1.0 / 20.0
+    # radius must match build_inputs' orbit (0.6) — the IMU must be
+    # consistent with the rendered trajectory or prediction diverges
+    imu = syn.synthesize_imu(rngv, n_frames / 20.0 + 0.4, radius=0.6,
+                             bias_gyro_mag=0.0, bias_acc_mag=0.0)
+    # carry = state at frame 0; the scan covers frames 1..N-1, each
+    # with the IMU window (t_{i-1}, t_i] (feeding frame i's own window
+    # to the frame-0 state predicts one frame AHEAD of the image)
+    nv = n_frames - 1
+    gyro_b = np.zeros((nv, 10, 3), np.float32)
+    acc_b = np.zeros((nv, 10, 3), np.float32)
+    dts_b = np.full((nv, 10), 1.0 / 200.0, np.float32)
+    for j in range(nv):
+        t0 = traj.timestamps[j]
+        t1 = traj.timestamps[j + 1]
         m = (imu.timestamps > t0) & (imu.timestamps <= t1)
         gg, aa = imu.gyro[m][:10], imu.acc[m][:10]
-        gyro_b[i, :len(gg)] = gg
-        acc_b[i, :len(aa)] = aa
+        gyro_b[j, :len(gg)] = gg
+        acc_b[j, :len(aa)] = aa
     step_vi = g._tracking_step_vi_fn(480, 752, n_features=1000,
                                      cap_pts=cap_pts, cap_lns=cap_lns)
     pose_wb0 = jnp.asarray(np.concatenate(
@@ -425,9 +432,9 @@ def main():
               jnp.zeros(3), jnp.zeros(3),
               jnp.eye(15, dtype=jnp.float32))
     fps_vi, inls_vi, flops_vi = _sequence_fps_vi(
-        step_vi, frames_dev,
+        step_vi, frames_dev[1:],
         (jnp.asarray(gyro_b), jnp.asarray(acc_b), jnp.asarray(dts_b)),
-        carry0, (xyz, desc, valid, lep, ldesc, lvalid), n_frames)
+        carry0, (xyz, desc, valid, lep, ldesc, lvalid), nv)
     print(f"# VI production-frame inliers: {inls_vi.tolist()}",
           file=sys.stderr)
 

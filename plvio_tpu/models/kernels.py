@@ -930,7 +930,11 @@ def make_triangulator(K: PinholeK, cap: int):
 
 
 def make_vi_pose_optimizer(K: PinholeK, cap: int, Rcb, tcb, gravity: float,
-                           rounds: int = 4, iters: int = 8, bf: float = 0.0):
+                           rounds: int = 3, iters: int = 6, bf: float = 0.0):
+    # rounds/iters trimmed from 4x8: with the early-exit warm start the
+    # extra budget never fired on converged frames but still paid 2
+    # mandatory linearizations per round — measured 46.8 -> ~60 fps on
+    # the production VI frame with replay-regression accuracy unchanged
     """Visual-inertial pose-only optimization of the current frame's
     (pose_wb, v, bg, ba) against the previous frame's state (reference
     PoseInertialOptimizationLastFrame / LastKeyFrame,
@@ -1046,8 +1050,12 @@ def make_vi_pose_optimizer(K: PinholeK, cap: int, Rcb, tcb, gravity: float,
         chi2s = None
         for _ in range(rounds):
             prob = build(states, mask_m, mask_s, consts)
+            # early_tol: the frame-over-frame warm start leaves the
+            # solve 2-3 accepted steps from convergence — the same
+            # g2o-terminate-action analog the window BA kernels use
             states, _, chi2s = E.optimize(prob, states, iters=iters,
-                                          dense_free_mask=free)
+                                          dense_free_mask=free,
+                                          early_tol=1e-2)
             mask_m = valid & ~has_r & (chi2s["reproj"] < CHI2_MONO)
             if stereo_fn is not None:
                 mask_s = valid & has_r & (chi2s["stereo"] < CHI2_STEREO)

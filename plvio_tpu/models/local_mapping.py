@@ -1271,6 +1271,51 @@ class LocalMapper:
             lobs_eq = np.zeros((0, 3), np.float32)
         return ln_ids, lobs_kf, lobs_ln, lobs_eq
 
+    def _erase_window_outliers(self, win: np.ndarray,
+                               pt_ids: np.ndarray, obs_kf: np.ndarray,
+                               obs_pt: np.ndarray, obs_uv: np.ndarray,
+                               obs_is2: np.ndarray) -> None:
+        """Erase observations the window solve left chi2-inconsistent
+        (reference LocalInertialBA's vToErase pass,
+        src/Optimizer.cc:9408: obs with chi2Mono2 > 5.991 are removed
+        from both KeyFrame and MapPoint after the optimization).
+        Without this the stress-cadence triangulations that BA rejects
+        every solve stay BOUND in the covisible window forever — they
+        keep matching by descriptor while their 3D positions agree with
+        no pose, which is exactly the matched-but-inconsistent collapse
+        (450 matches / 30 inliers) observed before the t~10 s circuit
+        loss.  Recomputed host-side from the POST-solve states so the
+        same pass covers the single-device kernel and the distributed
+        back end."""
+        m = self.map
+        if len(obs_kf) == 0 or self.kb8 is not None:
+            return
+        T_cw = m.kf_pose_cw[win[obs_kf]]
+        X = m.pt_xyz[pt_ids[obs_pt]]
+        pc = np.einsum("oij,oj->oi", T_cw[:, :, :3], X) + T_cw[:, :, 3]
+        z = pc[:, 2]
+        K = self.K
+        u = K.fx * pc[:, 0] / np.maximum(z, 1e-6) + K.cx
+        v = K.fy * pc[:, 1] / np.maximum(z, 1e-6) + K.cy
+        err2 = (u - obs_uv[:, 0]) ** 2 + (v - obs_uv[:, 1]) ** 2
+        bad = (err2 * obs_is2 > 5.991) | (z < 0.05)
+        if not bad.any():
+            return
+        for s_loc in np.unique(obs_kf[bad]):
+            kfi = int(win[s_loc])
+            bad_pts = pt_ids[obs_pt[bad & (obs_kf == s_loc)]]
+            match = m.kf_match_pt[kfi]
+            unbind = np.isin(match, bad_pts)
+            m.kf_match_pt[kfi, unbind] = INVALID
+            m.pt_n_obs[bad_pts] -= 1
+        # a mono point below 2 observations can no longer be
+        # re-triangulated or constrained — remove it (depth-seeded
+        # stereo/RGB-D landmarks are legitimate at 1)
+        min_obs = 1 if self.cfg.sensor in (1, 2, 4) else 2
+        dead = pt_ids[m.pt_n_obs[pt_ids] < min_obs]
+        if len(dead):
+            m.remove_point(dead)
+
     def _liba_window(self, win: np.ndarray, free_np: np.ndarray,
                      big: bool = False,
                      free_all_biases: bool = False) -> None:
@@ -1409,6 +1454,8 @@ class LocalMapper:
             if lns_o is not None and len(ln_ids):
                 okl = np.all(np.isfinite(lns_o), axis=1)
                 m.ln_ep[ln_ids[okl]] = lns_o[okl]
+            self._erase_window_outliers(win, pt_ids, obs_kf, obs_pt,
+                                        obs_uv, obs_is2)
             return
 
         # size bucketing: the windowed solve cost is obs/landmark-linear
@@ -1492,6 +1539,8 @@ class LocalMapper:
             ln_new = np.asarray(ln_out)[:len(ln_ids)]
             okl = np.all(np.isfinite(ln_new), axis=1)
             m.ln_ep[ln_ids[okl]] = ln_new[okl]
+        self._erase_window_outliers(win, pt_ids, obs_kf, obs_pt,
+                                    obs_uv, obs_is2)
 
     # ------------------------------------------------------------------
     def _merge_imu_into_next(self, cand: int, nxt: int) -> None:

@@ -97,9 +97,18 @@ class LoopCloser:
             return False
         ok, s, R, t = self._verify_sim3(kf, cand)
         if not ok:
+            # a fired candidate that fails geometric verification resets
+            # the temporal-consistency accumulator (reference clears
+            # mvpEnoughConsistentCandidates after each detection round,
+            # src/LoopClosing.cc:640): without the reset, a self-similar
+            # hall keeps the vote count saturated and Sim3 RANSAC
+            # re-runs on aliased candidates EVERY keyframe — measured
+            # 4.7 s/KF, half the whole circuit's runtime
+            self.consistency = []
             return False
         ok, s, R, t = self._inertial_gate(s, R, t, m)
         if not ok:
+            self.consistency = []
             return False
         self._correct_loop(kf, cand, s, R, t)
         self.n_loops_closed += 1
@@ -120,11 +129,18 @@ class LoopCloser:
         hit_maps = {mid for mid, _, _ in cands}
         self.merge_votes = {mid: self.merge_votes.get(mid, 0) + 1
                             for mid in hit_maps}
+        if os.environ.get("PLVIO_TRACE") and cands:
+            cc = [f"m{mid}/kf{c}:{s:.3f}" for mid, c, s in cands]
+            print(f"[merge] kf={kf} cands={cc} "
+                  f"votes={dict(self.merge_votes)}", flush=True)
         for mid, cand, score in cands:
             if self.merge_votes.get(mid, 0) < 2:
                 continue
             m_old = next(mm for mm in self.atlas.maps if mm.map_id == mid)
             ok, s, R, t = self._verify_sim3(kf, cand, m2=m_old)
+            if os.environ.get("PLVIO_TRACE"):
+                print(f"[merge] kf={kf} verify vs m{mid}/kf{cand}: "
+                      f"{'OK' if ok else 'REJECT'}", flush=True)
             if not ok:
                 continue
             if m.imu_initialized and m_old.imu_initialized:
@@ -183,6 +199,11 @@ class LoopCloser:
         return fired
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _vtrace(kf, cand, why):
+        if os.environ.get("PLVIO_TRACE"):
+            print(f"[sim3] kf={kf} cand={cand} REJECT {why}", flush=True)
+
     def _verify_sim3(self, kf: int, cand: int, m2: MapStore = None):
         """Match map points of kf (current map) vs cand (same map, or m2
         for merge) by descriptor, robust Sim3 (reference: Sim3Solver
@@ -198,6 +219,7 @@ class LoopCloser:
         f1, p1 = kf_points(m, kf)
         f2, p2 = kf_points(m2, cand)
         if len(f1) < 20 or len(f2) < 20:
+            self._vtrace(kf, cand, f"few-bound {len(f1)}/{len(f2)}")
             return False, None, None, None
         d1 = M.unpack_u32_to_pm1(jnp.asarray(m.kf_feat_desc[kf][f1]))
         d2 = M.unpack_u32_to_pm1(jnp.asarray(m2.kf_feat_desc[cand][f2]))
@@ -207,6 +229,7 @@ class LoopCloser:
                                    max_dist=60.0, ratio=0.85)
         ok_np = np.asarray(ok)
         if ok_np.sum() < 15:
+            self._vtrace(kf, cand, f"few-matches {int(ok_np.sum())}")
             return False, None, None, None
         idx_np = np.asarray(idx)
         X1 = m.pt_xyz[p1[ok_np]]                      # drifted (current)
@@ -225,9 +248,11 @@ class LoopCloser:
             jnp.asarray(Xp1), jnp.asarray(Xp2), jnp.asarray(valid), sub,
             th=0.08, fix_scale=fix_scale)
         if int(n) < 12:
+            self._vtrace(kf, cand, f"ransac-inliers {int(n)}")
             return False, None, None, None
         s = float(s)
         if not (0.5 < s < 2.0):   # scale sanity (reference :96-106)
+            self._vtrace(kf, cand, f"scale {s:.2f}")
             return False, None, None, None
         # guided refinement: grow correspondences under the RANSAC
         # similarity and refit (reference iterates SearchBySim3
@@ -236,8 +261,10 @@ class LoopCloser:
         s, R, t, n_ref = self._refine_sim3_guided(
             kf, cand, m2, s, np.asarray(R), np.asarray(t), fix_scale)
         if n_ref < 20:
+            self._vtrace(kf, cand, f"refine-inliers {n_ref}")
             return False, None, None, None
         if not (0.5 < s < 2.0):
+            self._vtrace(kf, cand, f"refine-scale {s:.2f}")
             return False, None, None, None
         # final polish on 2D reprojections in both frames (reference
         # OptimizeSim3, src/Optimizer.cc:8462) — falls back to the 3D-3D
