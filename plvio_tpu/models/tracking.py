@@ -899,7 +899,21 @@ class Tracker:
         ids, live, (xyz, desc), (nrm, dmin, dmax) = \
             self._gather_local_points()
 
-        radius = 15.0 if (self.velocity is not None or vi_mode) else 40.0
+        # search-window radius: the reference's SearchByProjection uses
+        # 2.5-4 px (octave-scaled) around the predicted projection
+        # (src/ORBmatcher.cc:~160 th=1 branch); the IMU prediction is
+        # sub-pixel over one frame, so VI mode gets a tight 6 px gate —
+        # the flat 15 px window held ~6x the area and in dense texture
+        # admitted aliased descriptor matches that drowned the true
+        # inliers (observed 412 matched / 53 consistent before the
+        # t~10 s circuit loss).  The widen-retry below still recovers
+        # when the prediction is genuinely off.
+        if vi_mode:
+            radius = 6.0
+        elif self.velocity is not None:
+            radius = 15.0
+        else:
+            radius = 40.0
         # KB8-native mode matches/optimizes against RAW pixels
         obs_uv = feats.uv if self.kb8 is not None else feats.uv_und
         uv_m, pt_feat, matched, feat_pt = self.proj_match(

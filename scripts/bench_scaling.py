@@ -135,6 +135,68 @@ def time_dist(n_dev, reps=4):
     return (time.perf_counter() - t0) / reps, n_pts
 
 
+def time_dist_liba(n_dev, reps=3):
+    """Weak scaling for the PRODUCTION VI partition (dist_liba): 32-KF
+    15-DoF chain with inertial + bias-RW edges, point landmarks
+    proportional to devices, exact landmark-sharded Schur + one psum."""
+    from plvio_tpu.parallel import dist_liba as DL
+    rng = np.random.default_rng(0)
+    n_kf = 32
+    n_pts = 1024 * n_dev
+    # simple consistent geometry: identity-rotation chain, points ahead
+    poses = np.tile(np.eye(3, 4, dtype=np.float32), (n_kf, 1, 1))
+    poses[:, 0, 3] = 0.25 * np.arange(n_kf)
+    vel = np.tile(np.array([5.0, 0, 0], np.float32) / 20.0, (n_kf, 1))
+    own = rng.integers(0, n_kf - 3, n_pts)
+    X = np.stack([poses[own, 0, 3] + rng.uniform(-1, 1, n_pts),
+                  rng.uniform(-1, 1, n_pts),
+                  rng.uniform(2, 5, n_pts)], -1).astype(np.float32)
+    okf, opt, ouv = [], [], []
+    for j in range(3):
+        k = own + j
+        pc = X - poses[k, :, 3]
+        z = np.maximum(pc[:, 2], 1e-6)
+        uv = np.stack([K.fx * pc[:, 0] / z + K.cx,
+                       K.fy * pc[:, 1] / z + K.cy], -1)
+        okf.append(k.astype(np.int32))
+        opt.append(np.arange(n_pts, dtype=np.int32))
+        ouv.append(uv.astype(np.float32))
+    okf = np.concatenate(okf); opt = np.concatenate(opt)
+    ouv = np.concatenate(ouv)
+    # identity preintegrations with moderate information (structure
+    # benchmark — the edge cost is shape-, not value-, dependent)
+    e9 = np.eye(3, dtype=np.float32)
+    pre = {"dT": np.full(n_kf - 1, 0.25, np.float32),
+           "dR": np.tile(e9, (n_kf - 1, 1, 1)),
+           "dV": np.zeros((n_kf - 1, 3), np.float32),
+           "dP": np.tile(np.array([0.25, 0, 0], np.float32),
+                         (n_kf - 1, 1)),
+           "JRg": np.zeros((n_kf - 1, 3, 3), np.float32),
+           "JVg": np.zeros((n_kf - 1, 3, 3), np.float32),
+           "JVa": np.zeros((n_kf - 1, 3, 3), np.float32),
+           "JPg": np.zeros((n_kf - 1, 3, 3), np.float32),
+           "JPa": np.zeros((n_kf - 1, 3, 3), np.float32),
+           "bg0": np.zeros((n_kf - 1, 3), np.float32),
+           "ba0": np.zeros((n_kf - 1, 3), np.float32)}
+    infos = np.tile(np.eye(9, dtype=np.float32) * 1e4, (n_kf - 1, 1, 1))
+    ev = np.ones(n_kf - 1, bool)
+    rw = np.full(n_kf - 1, 1e5, np.float32)
+    free = np.ones(n_kf, bool); free[0] = False
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("lm",))
+    runner = DL.DistLIBARunner(K, np.eye(3, dtype=np.float32),
+                               np.zeros(3, np.float32), 9.81,
+                               mesh=mesh, axis="lm")
+    args = (poses, vel, np.zeros((n_kf, 3), np.float32),
+            np.zeros((n_kf, 3), np.float32), free, free,
+            okf, opt, ouv, np.ones(len(okf), np.float32), X,
+            pre, infos, ev, rw, rw)
+    out = runner.solve(*args, rounds=1, iters=4)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = runner.solve(*args, rounds=1, iters=4)
+    return (time.perf_counter() - t0) / reps, n_pts, len(okf)
+
+
 def main():
     # PLVIO_PIN=1 (run under `taskset -c 0`): SERIALIZED weak scaling.
     # This host exposes only 2 physical cores, so the default mode's
@@ -149,6 +211,15 @@ def main():
         print("PINNED mode: eff = D*T1/T_D (partition overhead only; "
               "run under `taskset -c 0`)")
     rows = []
+    base_t = None
+    for n_dev in (1, 2, 4, 8):
+        t, P, O = time_dist_liba(n_dev)
+        if n_dev == 1:
+            base_liba = t
+        eff = (n_dev * base_liba / t) if pinned else (base_liba / t)
+        rows.append(("dist_liba(VI)", n_dev, 32, P, O, t * 1e3, eff))
+        print(f"dist_liba D={n_dev}: C=32 P={P} O={O}  {t*1e3:.1f} ms  "
+              f"weak-scaling eff {eff*100:.0f}%")
     base_t = None
     for n_dev in (1, 2, 4, 8):
         t, C, P, O = time_chain(n_dev)
