@@ -966,23 +966,48 @@ class LocalMapper:
             stack, jnp.asarray(pose_R), jnp.asarray(pose_p), infos,
             jnp.asarray(edge_valid))
         s = float(s)
+        Rwg_np = np.asarray(Rwg)
+        from ..utils import lie as _lie
+        g_ang = float(np.linalg.norm(np.asarray(_lie.so3_log(
+            jnp.asarray(Rwg_np, jnp.float32)))))
         import os as _os
         if _os.environ.get("PLVIO_TRACE"):
-            print(f"[trace] refine_scale s={s:.4f}", flush=True)
-        if not np.isfinite(s) or abs(s - 1.0) < 1e-3 or s < 0.3 or s > 3.0:
-            if abs(s - 1.0) < 1e-3:
-                self.map.imu_ba2 = True   # scale converged
+            print(f"[trace] refine_scale s={s:.4f} "
+                  f"g_ang={np.degrees(g_ang):.3f}deg", flush=True)
+        if not np.isfinite(s) or s < 0.3 or s > 3.0 \
+                or not np.isfinite(g_ang):
             return
-        # after convergence, only act on CLEAR drift: the estimator is
-        # noisy at a few percent (velocities are held fixed) and chasing
-        # small corrections destabilizes a healthy map — the post-ba2
-        # pulses exist to catch the large monocular creep (>20% on the
-        # hall circuit), not to fine-tune
-        if self.map.imu_ba2 and abs(s - 1.0) < 0.05:
+        if abs(s - 1.0) < 1e-3:
+            self.map.imu_ba2 = True   # scale converged
+        # gravity-DIRECTION correction applies INDEPENDENTLY of scale
+        # (reference ScaleRefinement re-estimates Rwg at every pulse and
+        # always applies it, src/LocalMapping.cc:2270): a residual ~0.5-1
+        # deg world-gravity tilt is invisible to the scale estimate but
+        # on a yawing circuit shows up as a ROTATING body-frame accel
+        # bias the random-walk-limited estimator chases with lag —
+        # measured |ba| 7x the true bias and a ~30% velocity deficit in
+        # the fast-yaw arcs before the t~11 s tracking loss.
+        scale_off = (not self.map.imu_ba2 and abs(s - 1.0) >= 1e-3) \
+            or abs(s - 1.0) >= 0.05
+        grav_off = g_ang > np.radians(0.15)
+        if grav_off and not scale_off:
+            # rate-limit pure-gravity corrections: under stress cadence
+            # the 10-KF pulse period shrinks below a second and
+            # correction-vs-LIBA oscillation replaces convergence
+            ts_new = float(m.kf_timestamp[newest])
+            last = getattr(self, "_last_gfix", {}).get(m.map_id, -1e18)
+            if ts_new - last < 2.5:
+                grav_off = False
+            else:
+                if not hasattr(self, "_last_gfix"):
+                    self._last_gfix = {}
+                self._last_gfix[m.map_id] = ts_new
+        if not scale_off and not grav_off:
             return
-        R_gw = np.asarray(Rwg).T
-        m.apply_scaled_rotation(R_gw, s, self.Tbc)
-        self._push_transform(R_gw, s)
+        s_apply = s if scale_off else 1.0
+        R_gw = Rwg_np.T
+        m.apply_scaled_rotation(R_gw, s_apply, self.Tbc)
+        self._push_transform(R_gw, s_apply)
 
     def maybe_initialize_imu(self, min_kfs: int = 8,
                              min_span: float = 1.9) -> None:
