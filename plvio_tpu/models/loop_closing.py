@@ -72,6 +72,9 @@ class LoopCloser:
         self._key = jax.random.PRNGKey(cfg.seed + 7)
         self.n_loops_closed = 0
         self.n_maps_merged = 0
+        # candidates that recently failed Sim3 verification:
+        # {kf_id: remaining_ttl_inserts}
+        self._failed_cands: dict = {}
         # accumulated loop edges per map (reference sLoopEdges via
         # KeyFrame::AddLoopEdge, kept in every later essential graph —
         # src/Optimizer.cc:7049 inserts them ahead of covis edges)
@@ -97,18 +100,20 @@ class LoopCloser:
             return False
         ok, s, R, t = self._verify_sim3(kf, cand)
         if not ok:
-            # a fired candidate that fails geometric verification resets
-            # the temporal-consistency accumulator (reference clears
-            # mvpEnoughConsistentCandidates after each detection round,
-            # src/LoopClosing.cc:640): without the reset, a self-similar
-            # hall keeps the vote count saturated and Sim3 RANSAC
-            # re-runs on aliased candidates EVERY keyframe — measured
-            # 4.7 s/KF, half the whole circuit's runtime
-            self.consistency = []
+            # a candidate whose covisibility group failed geometric
+            # verification goes on COOLDOWN for a few keyframes (the
+            # reference discards failed candidates per round while the
+            # consistency groups keep accumulating,
+            # src/LoopClosing.cc:640): without it, a self-similar hall
+            # keeps re-running Sim3 RANSAC on the same aliased area
+            # EVERY keyframe — measured 4.7 s/KF, half the whole
+            # circuit's runtime.  Votes are NOT reset, so a genuine
+            # revisit that follows a false alarm still fires.
+            self._cooldown_group(cand)
             return False
         ok, s, R, t = self._inertial_gate(s, R, t, m)
         if not ok:
-            self.consistency = []
+            self._cooldown_group(cand)
             return False
         self._correct_loop(kf, cand, s, R, t)
         self.n_loops_closed += 1
@@ -153,6 +158,13 @@ class LoopCloser:
             return True
         return False
 
+    def _cooldown_group(self, cand: int) -> None:
+        # candidate-level (NOT whole-covis-group) cooldown: on small
+        # dense maps neighbouring groups overlap heavily and a group
+        # ban can suppress the genuine revisit right after one false
+        # alarm
+        self._failed_cands[int(cand)] = 8
+
     # ------------------------------------------------------------------
     def _detect(self, kf: int) -> Optional[int]:
         """BoW retrieval excluding the covisible group + 3-vote temporal
@@ -183,6 +195,10 @@ class LoopCloser:
             return None
         # temporal consistency: the same covisibility group must be
         # retrieved for 3 consecutive KFs
+        # age out verification cooldowns (one tick per detector call)
+        self._failed_cands = {c: ttl - 1
+                              for c, ttl in self._failed_cands.items()
+                              if ttl > 1}
         new_consistency = []
         fired = None
         for c in cands:
@@ -193,7 +209,8 @@ class LoopCloser:
                     votes = prev_votes + 1
                     break
             new_consistency.append((group, votes))
-            if votes >= 3 and fired is None:
+            cooled = int(c) in self._failed_cands
+            if votes >= 3 and fired is None and not cooled:
                 fired = int(c)
         self.consistency = new_consistency
         return fired

@@ -16,11 +16,19 @@ from plvio_tpu.utils import lie
 
 
 def _revisit_script(fps=20.0):
-    """Frame script: 3.2 s forward arc, 0.75 s blackout, then 2 s
+    """Frame script: 4.8 s forward arc, 0.75 s blackout, then 2 s
     REVISITING the arc that starts at t=0.4 s (the camera 'teleports'
     back while the tracker is lost — it cannot tell, it only sees
-    images).  Returns (timestamps, pose_times, blackout_mask)."""
-    t_fwd = np.arange(0.0, 3.2, 1.0 / fps)
+    images).  Returns (timestamps, pose_times, blackout_mask).
+
+    The forward arc must leave a MATURE map (>10 KFs) at the blackout:
+    the reference keeps a map and starts a new one only above 10 KFs
+    (CreateMapInAtlas vs ResetActiveMap, src/Tracking.cc:2404) — below
+    that, losing tracking legitimately resets in place and there is
+    nothing to merge.  The round-4 triangulation-gate tightening slowed
+    the mono KF cadence to ~9 KFs per 3.2 s, silently flipping this
+    scenario onto the reset path."""
+    t_fwd = np.arange(0.0, 4.8, 1.0 / fps)
     n_black = 15
     t_rev = np.arange(0.4, 2.4, 1.0 / fps)
     pose_times = np.concatenate([
