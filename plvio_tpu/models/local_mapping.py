@@ -1323,13 +1323,12 @@ class LocalMapper:
         u = K.fx * pc[:, 0] / np.maximum(z, 1e-6) + K.cx
         v = K.fy * pc[:, 1] / np.maximum(z, 1e-6) + K.cy
         err2 = (u - obs_uv[:, 0]) ** 2 + (v - obs_uv[:, 1]) ** 2
-        # 3x the chi2 gate: the solve may legitimately leave residuals
-        # above 5.991 when it STARTED far from convergence (post-merge
-        # weld, large loop corrections) and erasing those would remove
-        # good constraints permanently; the small-baseline garbage this
-        # pass exists for projects tens of pixels off (chi2 in the
-        # hundreds) and is still removed
-        bad = (err2 * obs_is2 > 3.0 * 5.991) | (z < 0.05)
+        # _erase_chi2_mult (default 1 = reference gate) is raised to 3
+        # around merge welds: those solves START far from convergence
+        # and erasing at the plain gate removes good constraints
+        # permanently; the circuit validation ran at 1x
+        mult = getattr(self, "_erase_chi2_mult", 1.0)
+        bad = (err2 * obs_is2 > mult * 5.991) | (z < 0.05)
         if not bad.any():
             return
         for s_loc in np.unique(obs_kf[bad]):

@@ -1021,8 +1021,15 @@ class LoopCloser:
         if (m_old.imu_initialized and m_cur.imu_initialized
                 and self.mapper is not None):
             n_new = int((kf_map >= 0).sum())
-            self.mapper.local_inertial_ba(
-                kf_new, window=min(n_new + 6, self.mapper.ba_kf_cap))
+            # conservative outlier erasure for the weld solve: it
+            # starts ~0.1-0.3 m from the optimum and the plain chi2
+            # gate would erase good cross-seam constraints
+            self.mapper._erase_chi2_mult = 3.0
+            try:
+                self.mapper.local_inertial_ba(
+                    kf_new, window=min(n_new + 6, self.mapper.ba_kf_cap))
+            finally:
+                self.mapper._erase_chi2_mult = 1.0
         else:
             self.run_global_ba(fixed_kf=cand)
         self.pending_merge = dict(
