@@ -38,7 +38,14 @@ from plvio_tpu.utils import lie
 IDENTITY_TBC = tuple(np.eye(4).flatten().tolist())
 
 
+_CIRCUIT_CACHE = {}
+
+
 def _run_circuit(duration=28.0):
+    # the 28 s circuit costs ~30 min on CPU — run once, share across
+    # the survival test and the loop-closure xfail pin
+    if duration in _CIRCUIT_CACHE:
+        return _CIRCUIT_CACHE[duration]
     rng = np.random.default_rng(7)
     scene = syn.make_hall_scene(rng, n_points=9000, n_lines=500)
     t_frames = np.arange(0.0, duration, 1.0 / 20.0)
@@ -68,7 +75,8 @@ def _run_circuit(duration=28.0):
         last_t = t
         n_ok += pose is not None
 
-    return slam, traj, n_ok, n_frames
+    _CIRCUIT_CACHE[duration] = (slam, traj, n_ok, n_frames)
+    return _CIRCUIT_CACHE[duration]
 
 
 @pytest.mark.slow
